@@ -1,0 +1,44 @@
+"""Flagship pipeline: pages parquet → extraction kernel → (optional)
+partitioned parquet sink.
+
+Streaming end to end: ``read_parquet`` (column-pruned) →
+``map_batches(extract_batch, batch_format="pyarrow")`` → sink. No stage
+materializes the dataset; the streaming executor pipelines blocks with
+backpressure (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import ray.data
+
+from ..stages.extract_stage import extract_batch, verify_batch
+
+
+def read_pages(pages_path: str, columns: Optional[list[str]] = None) -> ray.data.Dataset:
+    """Read the pages table with column pruning at the read (never load
+    ``text``/``lang`` when only extracting)."""
+    return ray.data.read_parquet(pages_path, columns=columns)
+
+
+def extract_pipeline(
+    pages_path: str,
+    out_dir: Optional[str] = None,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """pages → extracted records. With ``out_dir``, writes partitioned
+    parquet (one dir per input shard via Ray's natural block layout)."""
+    ds = read_pages(pages_path, columns=["url", "html"])
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        ds.write_parquet(out_dir)
+    return ds
+
+
+def verify_pipeline(pages_path: str, batch_size: int = 256) -> ray.data.Dataset:
+    """pages → per-url byte-parity verdicts against the ``text`` oracle."""
+    ds = read_pages(pages_path, columns=["url", "html", "text"])
+    return ds.map_batches(verify_batch, batch_format="pyarrow", batch_size=batch_size)
