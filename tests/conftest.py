@@ -26,7 +26,7 @@ def small_corpus(tmp_path_factory):
     from web_scraper_ray.corpus import build_corpus
 
     out = str(tmp_path_factory.mktemp("corpus"))
-    build_corpus(out, n_pages=120, n_hosts=12, seed=42, n_seeds=8)
+    build_corpus(out, n_pages=120, n_hosts=12, seed=42, n_seeds=10, links_per_page=7)
     return out
 
 

@@ -1,0 +1,151 @@
+"""Crawl parity: the Ray frontier engine must reproduce the sequential
+reference model exactly — crawl order, seen set, fetched set — and
+resume from checkpoint without divergence (SURVEY.md §5.3, §5.6)."""
+
+import os
+import shutil
+
+import pytest
+
+from web_scraper_ray.crawl.config import CrawlConfig
+from web_scraper_ray.crawl.model import sequential_crawl
+from web_scraper_ray.crawl.robots import RobotsRules
+
+CFG = CrawlConfig(max_depth=2, seen_shards=4)
+
+
+@pytest.fixture(scope="module")
+def model_result(small_corpus):
+    robots = RobotsRules.from_parquet(f"{small_corpus}/robots.parquet",
+                                      CFG.default_crawl_delay_ms)
+    return sequential_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", robots, CFG
+    )
+
+
+def test_model_sane(model_result):
+    order, seen = model_result
+    assert len(order) >= 15
+    # every crawled url is in seen, no duplicates in order
+    urls = [r["url"] for r in order]
+    assert len(set(urls)) == len(urls)
+    assert set(urls) <= seen
+    # depth monotone across rounds
+    depths = [r["depth"] for r in order]
+    assert depths == sorted(depths)
+    # vt nondecreasing within (round, host)
+    byhost = {}
+    for r in order:
+        key = (r["round"], r["host"])
+        assert byhost.get(key, -1.0) <= r["vt"]
+        byhost[key] = r["vt"]
+
+
+def test_model_deterministic(small_corpus, model_result):
+    robots = RobotsRules.from_parquet(f"{small_corpus}/robots.parquet",
+                                      CFG.default_crawl_delay_ms)
+    order2, seen2 = sequential_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", robots, CFG
+    )
+    assert order2 == model_result[0]
+    assert seen2 == model_result[1]
+
+
+def test_model_respects_filters(model_result, small_corpus):
+    order, seen = model_result
+    for r in order:
+        assert "/tags/" not in r["url"] and "/categories/" not in r["url"]
+    # robots: every 7th host disallows /category/
+    for u in seen:
+        host = u.split("/")[2]
+        if host.startswith("host") and int(host[4:8]) % 7 == 0:
+            assert "/category/" not in u
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, small_corpus, tmp_path_factory):
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    res = run_crawl(
+        f"{small_corpus}/pages",
+        f"{small_corpus}/seeds.parquet",
+        ckpt,
+        robots_path=f"{small_corpus}/robots.parquet",
+        config=CFG,
+    )
+    return res, load_crawl_order(ckpt)
+
+
+def test_engine_matches_model_order(engine_result, model_result):
+    res, order_df = engine_result
+    model_order, model_seen = model_result
+    got = list(zip(order_df["round"], order_df["url"], order_df["vt"]))
+    want = [(r["round"], r["url"], r["vt"]) for r in model_order]
+    assert got == want
+
+
+def test_engine_matches_model_seen(engine_result, model_result):
+    res, _ = engine_result
+    assert res.seen.snapshot() == model_result[1]
+
+
+def test_engine_fetched_counts(engine_result, model_result):
+    res, _ = engine_result
+    n_fetched_model = sum(1 for r in model_result[0] if r["status"] == "fetched")
+    assert res.n_fetched == n_fetched_model
+    assert res.n_admitted == len(model_result[0])
+
+
+def test_engine_resume_equivalence(ray_session, small_corpus, tmp_path_factory,
+                                   engine_result, model_result):
+    """Kill after round 0 (simulated by copying its checkpoint files),
+    resume, and get the identical crawl (SURVEY.md §5.6)."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    res_full, order_full = engine_result
+    src = res_full.checkpoint_dir
+    dst = str(tmp_path_factory.mktemp("ckpt_resume"))
+    for name in os.listdir(src):
+        if name.startswith(("frontier_0000", "frontier_0001", "admitted_0000",
+                            "output_0000", "manifest_0000")):
+            s = os.path.join(src, name)
+            if os.path.isdir(s):
+                shutil.copytree(s, os.path.join(dst, name))
+            else:
+                shutil.copy(s, os.path.join(dst, name))
+
+    res2 = run_crawl(
+        f"{small_corpus}/pages",
+        f"{small_corpus}/seeds.parquet",
+        dst,
+        robots_path=f"{small_corpus}/robots.parquet",
+        config=CFG,
+        resume=True,
+    )
+    order2 = load_crawl_order(dst)
+    assert list(zip(order2["round"], order2["url"], order2["vt"])) == list(
+        zip(order_full["round"], order_full["url"], order_full["vt"])
+    )
+    assert res2.seen.snapshot() == model_result[1]
+
+
+def test_engine_max_pages_budget(ray_session, small_corpus, tmp_path_factory,
+                                 model_result):
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+    from web_scraper_ray.crawl.model import sequential_crawl
+
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, max_pages=15)
+    robots = RobotsRules.from_parquet(f"{small_corpus}/robots.parquet",
+                                      cfg.default_crawl_delay_ms)
+    m_order, m_seen = sequential_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", robots, cfg
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_budget"))
+    run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order_df = load_crawl_order(ckpt)
+    assert len(order_df) == len(m_order) <= 15
+    assert list(order_df["url"]) == [r["url"] for r in m_order]

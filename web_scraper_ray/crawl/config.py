@@ -1,0 +1,22 @@
+"""Crawl configuration.
+
+The reference's crawl capability exists only as config stubs
+(``contxt/config.py:20-21`` ``max_depth``/``ignore_patterns``,
+``TODO.md:7`` sitemap+depth). This dataclass is the real version:
+the shared parameter set consumed by both the sequential model
+(``model.py`` — the executable spec) and the Ray frontier engine
+(``frontier.py``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_depth: int = 2  # config.py:20 default ("max_depth: 1  # For future website crawling")
+    ignore_patterns: tuple[str, ...] = ("/tags/", "/categories/")  # config.py:21
+    default_crawl_delay_ms: int = 100
+    max_pages: int | None = None  # global cap on fetched pages (by crawl order)
+    seen_shards: int = 8
+    respect_robots: bool = True
