@@ -1,44 +1,380 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl+extract pipeline on a deterministic
+synthetic Common-Crawl-style corpus (BASELINE.json input_hint schema;
+cached under /tmp keyed by parameters).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one entry per implemented operator family
+(SURVEY.md §2 + the training-data ops). Callables take ``sf_dir`` and
+return Dataset / DataFrame / pyarrow Table.
+
+``oracle_sql()`` — DuckDB-runnable equivalents over the pre-registered
+views for every SQL-expressible query. Column names match the Ray
+outputs exactly. Monetary/float aggregates are rounded to integers
+per row before summation on BOTH sides so value-hashes are exact
+(see web_scraper_ray/ops/relational.py docstring).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were','be',"
+    "'been','it','this','that','for','on','with','as','at','by']"
+)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus helpers (crawl queries need a pages table; testdata has
+# none, so it is synthesized deterministically per the brief)
+
+def _corpus_for(sf_dir: str) -> str:
+    from web_scraper_ray.corpus import build_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    out = f"/tmp/wsr_corpus_{tag}"
+    build_corpus(out, n_pages=400, n_hosts=24, seed=42, n_seeds=40,
+                 links_per_page=6, use_ray=False)
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic pages corpus → frontier crawl (seen set,
+    politeness, robots) → extraction kernel; returns the extracted
+    records of the crawl as a Dataset."""
+    import shutil
 
+    from web_scraper_ray.crawl import CrawlConfig, run_crawl
+    import ray.data
+
+    corpus = _corpus_for("/root/testdata/sf0.001")
+    ckpt = "/tmp/wsr_entry_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_crawl(
+        f"{corpus}/pages",
+        f"{corpus}/seeds.parquet",
+        ckpt,
+        robots_path=f"{corpus}/robots.parquet",
+        config=CrawlConfig(max_depth=2, seen_shards=4),
+    )
+    import glob
+
+    out_files = sorted(glob.glob(os.path.join(ckpt, "output_*", "*.parquet")))
+    return ray.data.read_parquet(out_files)
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_scraper_ray.ops import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_pricing_summary(sf_dir: str):
+        return rel.pricing_summary(sf_dir)
 
+    def q_top_orders(sf_dir: str):
+        return rel.top_orders(sf_dir, k=10)
+
+    def q_segment_revenue(sf_dir: str):
+        return rel.segment_revenue(sf_dir)
+
+    def q_events_hourly(sf_dir: str):
+        return rel.events_hourly(sf_dir)
+
+    def q_asof_last_purchase(sf_dir: str):
+        return rel.last_purchase_asof(sf_dir)
+
+    def q_lang_counts(sf_dir: str):
+        return rel.lang_counts(sf_dir)
+
+    def q_source_stats(sf_dir: str):
+        return rel.source_stats(sf_dir)
+
+    def q_exact_dedup(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.dedup import exact_dedup
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+        )
+        return exact_dedup(ds, "text", "doc_id").select_columns(
+            ["doc_id", "source", "n_chars"]
+        )
+
+    def q_text_stats(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.text import text_stats_batch
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(text_stats_batch, batch_format="pandas")
+
+    def _query_vec(sf_dir: str):
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        return np.asarray(
+            emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0],
+            dtype=np.float64,
+        )
+
+    def _emb_nonself(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+
+    def q_similarity_topk(sf_dir: str):
+        from web_scraper_ray.ops.similarity import brute_force_topk
+
+        return brute_force_topk(
+            _emb_nonself(sf_dir), _query_vec(sf_dir), k=10, extra_cols=("label",)
+        ).select_columns(["vec_id", "label"])
+
+    def q_knn_label_hist(sf_dir: str):
+        from ray.data.aggregate import Count
+        from web_scraper_ray.ops.similarity import brute_force_topk
+
+        top = brute_force_topk(
+            _emb_nonself(sf_dir), _query_vec(sf_dir), k=50, extra_cols=("label",)
+        )
+        return top.groupby("label").aggregate(Count(alias_name="n_neighbors"))
+
+    # ---- rows-only checks (not SQL-expressible) ----
+
+    def q_minhash_pairs(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.dedup import minhash_lsh_pairs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+
+    def q_simhash_pairs(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.dedup import simhash_near_pairs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return simhash_near_pairs(ds, max_hamming=3)
+
+    def q_ngram_jaccard(sf_dir: str):
+        import pandas as pd
+        import ray.data
+        from web_scraper_ray.ops.dedup import ngram_jaccard_pairs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+        )
+
+        def add_block(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["block"] = df["source"] + "_" + (df["n_chars"] // 64).astype(str)
+            return df
+
+        ds = ds.map_batches(add_block, batch_format="pandas")
+        return ngram_jaccard_pairs(ds, block_col="block", threshold=0.35)
+
+    def q_embedding_dups(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.dedup import embedding_dup_pairs
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dup_pairs(ds, threshold=0.9)
+
+    def q_langid(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.text import LangIdModel
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(LangIdModel, batch_format="pandas", concurrency=2)
+
+    def q_fingerprints(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.text import fingerprint_batch
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(
+            ["doc_id", "fingerprint"]
+        )
+
+    def q_crawl_order(sf_dir: str):
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _corpus_for(sf_dir)
+        ckpt = f"/tmp/wsr_query_ckpt_{os.path.basename(os.path.normpath(sf_dir))}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(max_depth=2, seen_shards=4),
+        )
+        df = load_crawl_order(ckpt)
+        return df[["round", "url", "host", "vt", "priority"]]
+
+    def q_extraction(sf_dir: str):
+        from web_scraper_ray.pipelines.flagship import extract_pipeline
+
+        corpus = _corpus_for(sf_dir)
+        return extract_pipeline(f"{corpus}/pages").select_columns(
+            ["url", "host", "group_key", "title", "token_count"]
+        )
+
+    def q_extraction_parity(sf_dir: str):
+        from web_scraper_ray.pipelines.flagship import verify_pipeline
+
+        corpus = _corpus_for(sf_dir)
+        return verify_pipeline(f"{corpus}/pages")
+
+    def q_media_features(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.multimodal import (
+            media_feature_pipeline,
+            synthesize_media_table,
+        )
+
+        ds = ray.data.from_arrow(synthesize_media_table(n=96))
+        return media_feature_pipeline(ds)
+
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "segment_revenue": q_segment_revenue,
+        "events_hourly": q_events_hourly,
+        "asof_last_purchase": q_asof_last_purchase,
+        "lang_counts": q_lang_counts,
+        "source_stats": q_source_stats,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+        "knn_label_hist": q_knn_label_hist,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "crawl_order": q_crawl_order,
+        "extraction": q_extraction,
+        "extraction_parity": q_extraction_parity,
+        "media_features": q_media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "asof_last_purchase": """
+            SELECT event_id, user_id, ts, event_type,
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_purchase_ts
+            FROM events
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "source_stats": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "exact_dedup": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) // 4 AS BIGINT) AS est_tokens,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+                   CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                        w -> list_contains({_STOPWORDS_SQL}, w))) AS BIGINT) AS n_stop
+            FROM documents
+        """,
+        "similarity_topk": """
+            SELECT e.vec_id, e.label
+            FROM embeddings e,
+                 (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "knn_label_hist": """
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+            FROM (
+                SELECT e.vec_id, e.label
+                FROM embeddings e,
+                     (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+                LIMIT 50
+            )
+            GROUP BY label
+        """,
+    }

@@ -1,0 +1,181 @@
+"""Benchmark harness — prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "urls_per_sec": ...}
+
+Headline pipeline = the north-star workload: frontier crawl
+(seen-set + politeness + robots + fetch-join + extraction, 3 BFS
+rounds) over the deterministic synthetic Common-Crawl-style corpus,
+sized by $GRAFT_SF_DIR (default /root/testdata/sf0.1 → 200k pages),
+plus a full-corpus extraction pass and representative ops over the
+testdata tables.
+
+``--scaling``: runs the same bench in two fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 on the same (cached, page-warm) input and
+reports throughput at both plus scaling efficiency (the sandbox
+evidence for the north rule's two-cluster-size criterion).
+
+Corpus generation is cached (corpus._DONE stamp) and excluded from all
+timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_PAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    tag = _sf_tag(sf_dir)
+    n_pages = SF_PAGES.get(tag, 20_000)
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        from web_scraper_ray.corpus import build_corpus
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.pipelines.flagship import extract_pipeline
+        from web_scraper_ray.ops import relational as rel
+
+        corpus = f"/tmp/wsr_bench_{tag}"
+        build_corpus(
+            corpus,
+            n_pages=n_pages,
+            n_hosts=max(16, n_pages // 400),
+            seed=42,
+            n_seeds=max(50, n_pages // 10),
+            links_per_page=6,
+            shard_rows=10_000,
+            use_ray=True,
+        )
+        # warm the page cache so both scaling runs measure compute+shuffle
+        for root, _, files in os.walk(os.path.join(corpus, "pages")):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+        queries: dict[str, float] = {}
+
+        # --- headline: frontier crawl (fetch+extract) ---
+        ckpt = f"/tmp/wsr_bench_ckpt_{tag}_{num_cpus}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.time()
+        res = run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(max_depth=2, seen_shards=8),
+        )
+        crawl_sec = time.time() - t0
+        queries["crawl_frontier"] = round(crawl_sec, 3)
+        urls_per_sec = res.n_admitted / crawl_sec if crawl_sec else 0.0
+
+        # --- full-corpus extraction throughput ---
+        t0 = time.time()
+        out_dir = f"/tmp/wsr_bench_extract_{tag}_{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        extract_pipeline(f"{corpus}/pages", out_dir=out_dir, batch_size=128)
+        queries["extract_full"] = round(time.time() - t0, 3)
+
+        # --- representative ops over the testdata tables ---
+        t0 = time.time()
+        rel.pricing_summary(sf_dir).to_pandas()
+        queries["pricing_summary"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        import ray.data
+        from web_scraper_ray.ops.text import text_stats_batch
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        docs.map_batches(text_stats_batch, batch_format="pandas").count()
+        queries["text_stats"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        import numpy as np
+        import pyarrow.parquet as pq
+        from web_scraper_ray.ops.similarity import brute_force_topk
+
+        q = np.array(
+            pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"].to_pylist()[0],
+            dtype=np.float64,
+        )
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        brute_force_topk(emb, q, k=10).to_pandas()
+        queries["similarity_topk"] = round(time.time() - t0, 3)
+
+        headline = queries["crawl_frontier"] + queries["extract_full"]
+        return {
+            "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": tag,
+            "num_cpus": num_cpus,
+            "n_pages": n_pages,
+            "crawl_admitted": res.n_admitted,
+            "crawl_fetched": res.n_fetched,
+            "urls_per_sec": round(urls_per_sec, 1),
+            "extract_pages_per_sec": round(n_pages / queries["extract_full"], 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Same bench at 8 and 32 CPUs in fresh processes (north-rule
+    two-cluster-size evidence)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "sec_8": t8,
+        "sec_32": t32,
+        "urls_per_sec_8": results[8]["urls_per_sec"],
+        "urls_per_sec_32": results[32]["urls_per_sec"],
+        "extract_pages_per_sec_8": results[8]["extract_pages_per_sec"],
+        "extract_pages_per_sec_32": results[32]["extract_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

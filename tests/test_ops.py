@@ -1,0 +1,180 @@
+"""Training-data ops: dedup family (with planted duplicates), similarity
+search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again with "
+        "many words of filler content to make shingles meaningful for lsh"
+    )
+    rows = [
+        {"doc_id": 0, "text": base, "source": "s0"},
+        {"doc_id": 1, "text": base, "source": "s0"},  # exact dup of 0
+        {"doc_id": 2, "text": base + " tail", "source": "s0"},  # near dup of 0
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines and arrow batches for processing", "source": "s0"},
+        {"doc_id": 4, "text": "another unrelated document mentioning parquet "
+                              "files and object stores in distributed systems", "source": "s1"},
+        {"doc_id": 5, "text": base.replace("fox", "cat"), "source": "s1"},  # near dup
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup_planted(docs_ds):
+    from web_scraper_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds, "text", "doc_id").to_pandas()
+    kept = sorted(out["doc_id"])
+    assert 0 in kept and 1 not in kept  # min doc_id wins
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_minhash_finds_near_dups(docs_ds):
+    from web_scraper_ray.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5, concurrency=1).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got  # exact dup certainly found
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert not any({a, b} == {3, 4} for a, b in got)  # unrelated not paired
+
+
+def test_minhash_cluster_pairs(docs_ds):
+    from web_scraper_ray.ops.dedup import cluster_pairs, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5, concurrency=1).to_pandas()
+    clusters = cluster_pairs(pairs)
+    assert clusters.get(1) == 0  # rep is min id
+
+
+def test_simhash_near_pairs(docs_ds):
+    from web_scraper_ray.ops.dedup import simhash_near_pairs, simhash64
+
+    assert simhash64("a b c") == simhash64("a b c")
+    pairs = simhash_near_pairs(docs_ds, max_hamming=6).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert not any({a, b} == {3, 4} for a, b in got)
+
+
+def test_ngram_jaccard(docs_ds):
+    from web_scraper_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs_ds, block_col="source", threshold=0.5
+    ).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 2) in got and got[(0, 2)] > 0.5
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.standard_normal(16) * 0.01).tolist()},
+        {"vec_id": 2, "embedding": rng.standard_normal(16).tolist()},
+        {"vec_id": 3, "embedding": (-base).tolist()},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+def test_brute_force_topk_matches_numpy(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+    from web_scraper_ray.ops.similarity import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(tbl["vec_id"].to_pylist())
+    q = mat[0]
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    expect = ids[np.lexsort((ids, -sims))][:10].tolist()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = brute_force_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
+    assert got == expect
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import ray.data
+    from web_scraper_ray.ops.similarity import brute_force_topk, ivf_topk
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(tbl["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = set(brute_force_topk(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        ivf_topk(ds, q, k=10, n_lists=8, n_probe=4).to_pandas()["vec_id"]
+    )
+    # probed search must reach meaningful recall on the baseline
+    assert len(exact & approx) >= 5
+
+
+def test_text_stats_reference_values(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.text import text_stats_batch
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["The quick, brown FOX!"]})
+    out = text_stats_batch(df)
+    assert out.loc[0, "n_chars"] == 21
+    assert out.loc[0, "est_tokens"] == 5
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "n_punct"] == 2  # comma + bang
+    assert out.loc[0, "n_upper"] == 4  # T + FOX
+    assert out.loc[0, "n_stop"] == 1  # "the"
+
+
+def test_langid_english(ray_session):
+    from web_scraper_ray.ops.text import LangIdModel
+
+    m = LangIdModel()
+    assert m.predict("the cat is sitting on the mat and looking out of the window") == "en"
+
+
+def test_fingerprint_stability():
+    from web_scraper_ray.ops.text import rolling_fingerprint
+
+    a = rolling_fingerprint("one two three four five six seven eight")
+    b = rolling_fingerprint("one two three four five six seven eight")
+    assert a == b != 0
+    assert rolling_fingerprint("") == 0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.multimodal import (
+        FrameSampler,
+        ImageFeatureExtractor,
+        media_feature_pipeline,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(n=30)
+    ds = ray.data.from_arrow(tbl)
+    feats = media_feature_pipeline(ds).to_pandas()
+    assert len(feats) == 30
+    assert len(feats.loc[0, "feature"]) == 16
+    # strict mode marks exactly where the real decoder belongs
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(strict=True)._decode_and_embed(b"x")
+    frames = ds.map_batches(FrameSampler(fps_target=2.0), batch_format="pyarrow").to_pandas()
+    assert (frames["frame_offset_ms"] % 500 == 0).all()
+    assert set(frames["media_id"]) <= set(tbl["media_id"].to_pylist())

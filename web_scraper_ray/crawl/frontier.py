@@ -2,21 +2,28 @@
 
 Implements EXACTLY the crawl semantics of the sequential spec in
 ``model.py`` (see its docstring for the contract), re-expressed as
-streaming Dataset rounds (SURVEY.md §3.4, §7.6):
+streaming Dataset rounds (SURVEY.md §3.4, §7.6). Each round is TWO
+Dataset executions with ONE all-to-all shuffle:
 
-    frontier_r (parquet)                                  [candidates]
-      → groupby(host).map_groups(virtual-time assignment) [politeness]
-      → (sort + limit when max_pages)                     [priority]
-      → fetch-join against the pages corpus               [fetch]
-      → map_batches(extract_batch)                        [extraction]
-      → flat_map links + filters                          [discovery]
-      → groupby(url) min-winner dedup                     [in-round dedup]
-      → seen-shard actors check_and_add                   [anti-join]
-      → frontier_{r+1} (parquet)
+    1. fetch+extract:  pages corpus scan → broadcast is_in filter
+                       → map_batches(extract_batch) → output_r parquet
+    2. discovery:      output_r links → flat_map candidates (validity /
+                       ignore / robots filters) → host-bucket groupby
+                       fusing [in-round dedup → seen-shard screen →
+                       virtual-time assignment] → frontier_{r+1} parquet
+
+The fusion is legal because every candidate URL of one host lands in
+that host's hash bucket (bucket = f(host), url → host is a function),
+so url-dedup, the seen anti-join, and the per-host politeness scan all
+see complete groups in a single shuffle. Virtual times for round r+1
+are a pure function of state known at the end of round r (per-host
+admitted counts × crawl delay), so they are precomputed into the
+frontier file — this is what makes the crawl order independent of
+physical parallelism AND keeps the per-round shuffle count at one
+(SURVEY.md §7 "hard parts" #2).
 
 Determinism at any parallelism (SURVEY.md §4.2):
-* virtual time is a pure function of crawl history (per-host admitted
-  counts × crawl delay), never wall-clock;
+* virtual time is a pure function of crawl history, never wall-clock;
 * in-round duplicate discovery is resolved by ``min`` over the parent's
   full crawl-order tuple + link index — identical to "first discovery
   in sequential crawl order";
@@ -25,25 +32,28 @@ Determinism at any parallelism (SURVEY.md §4.2):
   global integer rank is ever materialized (ranks don't distribute;
   the sort key does).
 
-Checkpoint/resume (north rule): every round writes
-``frontier_{r+1}`` + ``admitted_r`` + ``output_r`` parquet dirs and then
-an atomically-renamed ``manifest_r.json`` (lineage + row counts +
-cumulative per-host admitted counts). ``seen`` is exactly the union of
-all frontier files — adds happen only at frontier creation — so resume
-rebuilds the seen shards from those files, restores host counters from
-the last manifest, and continues at the first round without a manifest.
+Checkpoint/resume (north rule): every round writes ``output_r`` +
+``frontier_{r+1}`` (and ``admitted_r`` when a ``max_pages`` budget
+truncates) and then an atomically-renamed ``manifest_r.json`` (lineage,
+row counts, cumulative per-host admitted counts). ``seen`` is exactly
+the union of all frontier files — adds happen only at frontier creation
+— so resume rebuilds the seen shards from those files, restores host
+counters from the last manifest, and continues at the first round
+without a manifest.
 
 Scale notes (10^10 frontier, SURVEY.md §7):
-* The per-round fetch-join broadcasts the round's admitted URL set
-  (``ray.put`` once, ``pyarrow.compute.is_in`` per batch). That is the
-  small-side-broadcast pattern; when a round outgrows driver memory the
-  documented path is the bucketed merge join (hash(url) % B buckets on
-  both sides, per-bucket ``map_groups``), which this layout already
-  supports because every table carries the url hash bucket implicitly.
-* Hot hosts serialize only their *ordering* (a per-host sort inside
-  ``map_groups``), not their fetches; a host with k candidates costs
-  O(k log k) in one task — salt ``host#chunk`` for storage and keep a
-  single budget key if a host ever exceeds one task's memory.
+* The fetch-join broadcasts the round's admitted URL set (``ray.put``
+  once, ``pyarrow.compute.is_in`` per batch) — the small-side-broadcast
+  pattern. When a round outgrows driver memory, the documented path is
+  the bucketed merge join (hash(url) % B buckets on both sides,
+  per-bucket ``map_groups``); this file's bucket column already exists
+  on the frontier side. In a live deployment the corpus scan is
+  replaced by an actor-pool HTTP fetcher and no join exists at all.
+* Hot hosts serialize only their *ordering* (a vectorized per-host
+  cumcount inside the bucket task), not their fetches; a host with k
+  candidates costs O(k log k) in one task — salt ``host#chunk`` for
+  queue storage and keep a single budget key if a host ever exceeds one
+  task's memory.
 """
 
 from __future__ import annotations
@@ -66,6 +76,7 @@ from ..functions.urls import (
     extract_host,
     is_valid_url,
     matches_ignore_patterns,
+    url_hash64,
 )
 from ..stages.extract_stage import extract_batch
 from .config import CrawlConfig
@@ -84,14 +95,13 @@ CANDIDATE_SCHEMA = pa.schema(
         ("w_pvt", pa.float64()),
         ("w_pli", pa.int64()),
         ("w_canon", pa.string()),
+        ("bucket", pa.int64()),
     ]
 )
 
+FRONTIER_COLUMNS = ["url", "host", "priority", "pvt", "pli", "vt"]
 ORDER_KEYS = ["vt", "priority", "pvt", "pli", "url"]
-
-
-def _empty_candidates() -> pa.Table:
-    return pa.table({f.name: pa.array([], f.type) for f in CANDIDATE_SCHEMA})
+N_BUCKETS = 64
 
 
 class CrawlResult:
@@ -107,6 +117,30 @@ class CrawlResult:
 # --------------------------------------------------------------------------
 # candidate construction
 
+def _candidate_table(rows: dict) -> pa.Table:
+    return pa.table({n: pa.array(rows[n], CANDIDATE_SCHEMA.field(n).type)
+                     for n in CANDIDATE_SCHEMA.names})
+
+
+def _new_rows() -> dict:
+    return {n: [] for n in CANDIDATE_SCHEMA.names}
+
+
+def _push_candidate(rows: dict, canon: str, priority: int, pvt: float, pli: int,
+                    w_pri: int, w_pvt: float, w_pli: int, w_canon: str) -> None:
+    host = extract_host(canon)
+    rows["url"].append(canon)
+    rows["host"].append(host)
+    rows["priority"].append(priority)
+    rows["pvt"].append(pvt)
+    rows["pli"].append(pli)
+    rows["w_pri"].append(w_pri)
+    rows["w_pvt"].append(w_pvt)
+    rows["w_pli"].append(w_pli)
+    rows["w_canon"].append(w_canon)
+    rows["bucket"].append(url_hash64(host) % N_BUCKETS)
+
+
 def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.data.Dataset:
     ds = ray.data.read_parquet(seeds_path)
 
@@ -119,7 +153,7 @@ def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.da
             if "priority" in batch.schema.names
             else [0] * batch.num_rows
         )
-        rows = {n: [] for n in CANDIDATE_SCHEMA.names}
+        rows = _new_rows()
         for url, sidx, pri in zip(urls, idxs, pris):
             if not is_valid_url(url):
                 continue
@@ -128,17 +162,8 @@ def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.da
                 continue
             if config.respect_robots and not robots.is_allowed(canon):
                 continue
-            rows["url"].append(canon)
-            rows["host"].append(extract_host(canon))
-            rows["priority"].append(int(pri))
-            rows["pvt"].append(-1.0)
-            rows["pli"].append(int(sidx))
-            rows["w_pri"].append(0)
-            rows["w_pvt"].append(-1.0)
-            rows["w_pli"].append(0)
-            rows["w_canon"].append("")
-        return pa.table({n: pa.array(rows[n], CANDIDATE_SCHEMA.field(n).type)
-                         for n in CANDIDATE_SCHEMA.names})
+            _push_candidate(rows, canon, int(pri), -1.0, int(sidx), 0, -1.0, 0, "")
+        return _candidate_table(rows)
 
     return ds.map_batches(to_cands, batch_format="pyarrow")
 
@@ -151,7 +176,7 @@ def _link_candidates(
     def expand(batch: pa.Table) -> pa.Table:
         meta: dict = ray.get(meta_ref)  # url -> (priority, vt, pvt, pli)
         robots: RobotsRules = ray.get(robots_ref)
-        rows = {n: [] for n in CANDIDATE_SCHEMA.names}
+        rows = _new_rows()
         for url, links in zip(batch["url"].to_pylist(), batch["links"].to_pylist()):
             p_pri, p_vt, p_pvt, p_pli = meta[url]
             for li, link in enumerate(links or ()):
@@ -162,61 +187,31 @@ def _link_candidates(
                     continue
                 if config.respect_robots and not robots.is_allowed(canon):
                     continue
-                rows["url"].append(canon)
-                rows["host"].append(extract_host(canon))
-                rows["priority"].append(p_pri)
-                rows["pvt"].append(p_vt)
-                rows["pli"].append(li)
-                rows["w_pri"].append(p_pri)
-                rows["w_pvt"].append(p_pvt)
-                rows["w_pli"].append(p_pli)
-                rows["w_canon"].append(url)
-        return pa.table({n: pa.array(rows[n], CANDIDATE_SCHEMA.field(n).type)
-                         for n in CANDIDATE_SCHEMA.names})
+                _push_candidate(rows, canon, p_pri, p_vt, li, p_pri, p_pvt, p_pli, url)
+        return _candidate_table(rows)
 
     return output_ds.map_batches(expand, batch_format="pyarrow")
 
 
-N_BUCKETS = 64  # coarse shuffle key: all rows of one url/host share a bucket
+# --------------------------------------------------------------------------
+# the fused per-bucket admission stage
 
-
-def _with_bucket(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
-    def add(batch: pa.Table) -> pa.Table:
-        from ..functions.urls import url_hash64
-
-        b = [url_hash64(v) % N_BUCKETS for v in batch[col].to_pylist()]
-        return batch.append_column("bucket", pa.array(b, pa.int64()))
-
-    return ds.map_batches(add, batch_format="pyarrow")
-
-
-def _dedup_and_screen(cands: ray.data.Dataset, seen: SeenSet) -> ray.data.Dataset:
-    """In-round dedup (min winner key per canon url == first discovery in
-    sequential crawl order) then seen-set anti-join via shard actors.
-
-    The shuffle key is a coarse url-hash bucket (not the url itself):
-    one vectorized pandas dedup per bucket instead of one Python call
-    per distinct url — same result, ~N_BUCKETS tasks."""
-
-    def pick_winner(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["url", "pvt", "w_pri", "w_pvt", "w_pli", "w_canon", "pli"],
-            kind="mergesort",
-        )
-        return g.drop_duplicates(subset=["url"], keep="first").drop(columns=["bucket"])
-
-    deduped = (
-        _with_bucket(cands, "url")
-        .groupby("bucket")
-        .map_groups(pick_winner, batch_format="pandas")
-    )
+def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray.data.Dataset:
+    """ONE shuffle: host-bucket groupby fusing in-round dedup, seen-shard
+    anti-join, and per-host virtual-time assignment (see module doc)."""
     shard_handles = seen.shard_handles()
     n_shards = seen.n_shards
 
-    def screen(batch: pa.Table) -> pa.Table:
-        from ..functions.urls import url_hash64
+    def bucket_admit(g: pd.DataFrame) -> pd.DataFrame:
+        # 1. in-round dedup: min winner key per url == first discovery
+        #    in sequential crawl order (model.py step 4)
+        g = g.sort_values(
+            ["url", "pvt", "w_pri", "w_pvt", "w_pli", "w_canon", "pli"],
+            kind="mergesort",
+        ).drop_duplicates(subset=["url"], keep="first")
 
-        urls = batch["url"].to_pylist()
+        # 2. seen anti-join: batched check_and_add on the shard actors
+        urls = g["url"].tolist()
         routed: dict[int, list[str]] = {}
         for u in urls:
             routed.setdefault(url_hash64(u) % n_shards, []).append(u)
@@ -229,64 +224,51 @@ def _dedup_and_screen(cands: ray.data.Dataset, seen: SeenSet) -> ray.data.Datase
             sid = url_hash64(u) % n_shards
             mask.append(results[sid][cursors[sid]])
             cursors[sid] += 1
-        return batch.filter(pa.array(mask, pa.bool_()))
+        g = g.loc[mask]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in (
+                ("url", "object"), ("host", "object"), ("priority", "int64"),
+                ("pvt", "float64"), ("pli", "int64"), ("vt", "float64"))})
 
-    return deduped.map_batches(screen, batch_format="pyarrow")
-
-
-# --------------------------------------------------------------------------
-# round stages
-
-def _assign_virtual_time(frontier: ray.data.Dataset, bases_ref, robots_ref,
-                         config: CrawlConfig) -> ray.data.Dataset:
-    """Per-host politeness: k-th candidate of a host (ordered by
-    (priority, pvt, pli, url)) gets vt=(base+k)*delay. Pure function of
-    crawl history — parallelism-independent (model.py step 1)."""
-
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        # one bucket = many hosts; vectorized per-host rank via cumcount
+        # 3. politeness: k-th candidate of host (ordered by priority,
+        #    pvt, pli, url) gets vt = (base + k) * delay (model.py step 1)
         bases: dict = ray.get(bases_ref)
         robots: RobotsRules = ray.get(robots_ref)
         g = g.sort_values(["host", "priority", "pvt", "pli", "url"], kind="mergesort")
         k = g.groupby("host", sort=False).cumcount()
         base = g["host"].map(lambda h: bases.get(h, 0))
         delay = g["host"].map(robots.delay_ms)
-        g = g.copy()
+        g = g[["url", "host", "priority", "pvt", "pli"]].copy()
         g["vt"] = ((base + k) * delay).astype(float)
-        return g.drop(columns=["bucket"])
+        return g
 
-    return (
-        _with_bucket(frontier, "host")
-        .groupby("bucket")
-        .map_groups(assign, batch_format="pandas")
-    )
+    return cands.groupby("bucket").map_groups(bucket_admit, batch_format="pandas")
 
+
+# --------------------------------------------------------------------------
+# fetch + extract
 
 def _fetch_and_extract(
     pages_path: str, admitted_urls_ref, meta_ref, round_no: int
 ) -> ray.data.Dataset:
-    """Corpus-backed fetch: one pass over the pages table, filtered to
-    this round's admitted URL set (broadcast once via ray.put), then the
-    extraction kernel. In a live deployment this stage is an actor-pool
-    HTTP fetcher (stages/fetch.py) instead of a corpus scan."""
+    """Corpus-backed fetch: one pass over the pages table filtered to the
+    round's admitted URL set (broadcast once), then the extraction
+    kernel. A live deployment swaps this scan for an actor-pool HTTP
+    fetcher; the scan is the offline stand-in (module doc, scale notes)."""
     pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
 
     def keep_admitted(batch: pa.Table) -> pa.Table:
-        admitted: frozenset = ray.get(admitted_urls_ref)
-        mask = pc.is_in(batch["url"], value_set=pa.array(list(admitted), pa.string()))
-        return batch.filter(mask)
+        value_set: pa.Array = ray.get(admitted_urls_ref)
+        return batch.filter(pc.is_in(batch["url"], value_set=value_set))
 
     fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
     extracted = fetched.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
 
     def attach_meta(batch: pa.Table) -> pa.Table:
         meta: dict = ray.get(meta_ref)
-        vts, depths = [], []
-        for u in batch["url"].to_pylist():
-            vts.append(meta[u][1])
-            depths.append(round_no)
+        vts = [meta[u][1] for u in batch["url"].to_pylist()]
         return batch.append_column("vt", pa.array(vts, pa.float64())).append_column(
-            "depth", pa.array(depths, pa.int64())
+            "depth", pa.array([round_no] * batch.num_rows, pa.int64())
         )
 
     return extracted.map_batches(attach_meta, batch_format="pyarrow")
@@ -315,15 +297,24 @@ def _complete_rounds(ckpt: str) -> list[int]:
     return rounds
 
 
+def _read_dir(ckpt: str, name: str, columns=None) -> Optional[pa.Table]:
+    path = os.path.join(ckpt, name)
+    if os.path.isdir(path) and os.listdir(path):
+        return pq.read_table(path, columns=columns)
+    return None
+
+
 def load_crawl_order(checkpoint_dir: str) -> pd.DataFrame:
     """The deterministic crawl ordering: admitted tables sorted by
     (round, vt, priority, pvt, pli, url). Driver-side (test/inspection
-    helper); at scale consume the sorted per-round parquet as a Dataset."""
+    helper); at scale consume the per-round parquet as a Dataset."""
     frames = []
     for r in _complete_rounds(checkpoint_dir):
-        path = os.path.join(checkpoint_dir, f"admitted_{r:04d}")
-        if os.path.isdir(path) and os.listdir(path):
-            df = pq.read_table(path).to_pandas()
+        tbl = _read_dir(checkpoint_dir, f"admitted_{r:04d}") # budget mode
+        if tbl is None:
+            tbl = _read_dir(checkpoint_dir, f"frontier_{r:04d}")
+        if tbl is not None and tbl.num_rows:
+            df = tbl.to_pandas()
             df["round"] = r
             frames.append(df)
     if not frames:
@@ -345,6 +336,9 @@ def run_crawl(
 ) -> CrawlResult:
     """Run (or resume) the frontier crawl. See module docstring."""
     os.makedirs(checkpoint_dir, exist_ok=True)
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
     robots = (
         RobotsRules.from_parquet(robots_path, config.default_crawl_delay_ms)
         if robots_path
@@ -372,51 +366,44 @@ def run_crawl(
         # seen = union of all frontier files written so far (incl. next)
         seen_urls: list[str] = []
         for r in range(last + 2):
-            fp = os.path.join(checkpoint_dir, f"frontier_{r:04d}")
-            if os.path.isdir(fp) and os.listdir(fp):
-                seen_urls.extend(pq.read_table(fp, columns=["url"])["url"].to_pylist())
+            tbl = _read_dir(checkpoint_dir, f"frontier_{r:04d}", columns=["url"])
+            if tbl is not None:
+                seen_urls.extend(tbl["url"].to_pylist())
         seen.add(seen_urls)
         start_round = last + 1
     else:
-        # Round 0 discovery: seeds → candidates → dedup → seen add
+        # Round 0 discovery: seeds → fused admit → frontier_0 (with vt)
         cands = _seed_candidates(seeds_path, robots_ref, config)
-        frontier0 = _dedup_and_screen(cands, seen)
-        fdir = os.path.join(checkpoint_dir, "frontier_0000")
-        frontier0.write_parquet(fdir)
+        frontier0 = _admit(cands, seen, ray.put({}), robots_ref)
+        frontier0.write_parquet(os.path.join(checkpoint_dir, "frontier_0000"))
 
     for r in range(start_round, config.max_depth + 1):
-        fdir = os.path.join(checkpoint_dir, f"frontier_{r:04d}")
-        if not os.path.isdir(fdir) or not os.listdir(fdir):
+        if pages_budget is not None and pages_budget <= 0:
             break
-        frontier = ray.data.read_parquet(
-            fdir, columns=["url", "host", "priority", "pvt", "pli"]
-        )
-        if frontier.count() == 0 or (pages_budget is not None and pages_budget <= 0):
+        frontier_tbl = _read_dir(checkpoint_dir, f"frontier_{r:04d}",
+                                 columns=FRONTIER_COLUMNS)
+        if frontier_tbl is None or frontier_tbl.num_rows == 0:
             break
         t0 = time.time()
 
-        # politeness → crawl order (+ global cap)
-        bases_ref = ray.put(dict(host_counts))
-        admitted = _assign_virtual_time(frontier, bases_ref, robots_ref, config)
-        if pages_budget is not None:
-            admitted = admitted.sort(ORDER_KEYS).limit(pages_budget)
-        adir = os.path.join(checkpoint_dir, f"admitted_{r:04d}")
-        admitted.write_parquet(adir)
-
-        # round-bounded driver state: admitted keys + per-host counts
-        adm_tbl = pq.read_table(adir, columns=["url", "host", "priority", "vt", "pvt", "pli"])
+        # budget truncation: global crawl-order sort, keep first K
+        if pages_budget is not None and frontier_tbl.num_rows > pages_budget:
+            df = frontier_tbl.to_pandas().sort_values(ORDER_KEYS, kind="mergesort")
+            adm_df = df.head(pages_budget)
+            adm_tbl = pa.Table.from_pandas(adm_df, preserve_index=False)
+            adir = os.path.join(checkpoint_dir, f"admitted_{r:04d}")
+            os.makedirs(adir, exist_ok=True)
+            pq.write_table(adm_tbl, os.path.join(adir, "part-00000.parquet"))
+        else:
+            adm_tbl = frontier_tbl
         n_admitted = adm_tbl.num_rows
-        if n_admitted == 0:
-            _write_manifest(checkpoint_dir, r, {
-                "round": r, "n_admitted": 0, "n_fetched": 0, "n_next_frontier": 0,
-                "host_counts": host_counts, "total_admitted": total_admitted,
-                "total_fetched": total_fetched, "elapsed_s": time.time() - t0,
-            })
-            break
-        for h, c in zip(*_host_count(adm_tbl)):
-            host_counts[h] = host_counts.get(h, 0) + c
         if pages_budget is not None:
             pages_budget -= n_admitted
+
+        # round-bounded driver state: admitted keys + per-host counts
+        hosts = adm_tbl["host"].to_pylist()
+        for h in hosts:
+            host_counts[h] = host_counts.get(h, 0) + 1
         meta = {
             u: (p, v, pv, pl)
             for u, p, v, pv, pl in zip(
@@ -428,30 +415,29 @@ def run_crawl(
             )
         }
         meta_ref = ray.put(meta)
-        admitted_urls_ref = ray.put(frozenset(meta.keys()))
+        admitted_urls_ref = ray.put(pa.array(list(meta.keys()), pa.string()))
 
-        # fetch + extract → round output
+        # execution 1: fetch + extract → round output
         out_ds = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r)
         odir = os.path.join(checkpoint_dir, f"output_{r:04d}")
         out_ds.write_parquet(odir)
         n_fetched = sum(
             pq.read_metadata(os.path.join(odir, f)).num_rows for f in os.listdir(odir)
-        ) if os.listdir(odir) else 0
+        ) if os.path.isdir(odir) and os.listdir(odir) else 0
 
         total_admitted += n_admitted
         total_fetched += n_fetched
 
-        # discovery → next frontier
+        # execution 2: discovery → fused admit (dedup+screen+vt) → next frontier
         n_next = 0
         if r < config.max_depth and n_fetched > 0:
             links_ds = ray.data.read_parquet(odir, columns=["url", "links"])
             cands = _link_candidates(links_ds, meta_ref, robots_ref, config)
-            nxt = _dedup_and_screen(cands, seen)
+            nxt = _admit(cands, seen, ray.put(dict(host_counts)), robots_ref)
             ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
             nxt.write_parquet(ndir)
-            n_next = sum(
-                pq.read_metadata(os.path.join(ndir, f)).num_rows for f in os.listdir(ndir)
-            ) if os.path.isdir(ndir) and os.listdir(ndir) else 0
+            nxt_tbl = _read_dir(checkpoint_dir, f"frontier_{r + 1:04d}", columns=["url"])
+            n_next = nxt_tbl.num_rows if nxt_tbl is not None else 0
 
         _write_manifest(checkpoint_dir, r, {
             "round": r,
@@ -468,10 +454,3 @@ def run_crawl(
 
     return CrawlResult(checkpoint_dir, len(_complete_rounds(checkpoint_dir)),
                        total_admitted, total_fetched, seen)
-
-
-def _host_count(adm_tbl: pa.Table):
-    import collections
-
-    c = collections.Counter(adm_tbl["host"].to_pylist())
-    return list(c.keys()), list(c.values())

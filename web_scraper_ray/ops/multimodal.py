@@ -1,0 +1,137 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode kernels are STUBS (clearly marked): either a deterministic
+fake decode (for tests of the plumbing — schema, batching, actor
+lifecycle, output layout) or ``NotImplementedError`` in strict mode.
+The Ray-side structure is real and is the part that matters at scale:
+small ``batch_size`` for wide binary rows, setup-once-per-actor, fixed
+Arrow output schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests (payload bytes
+    derived from blake2b of the id — no external data)."""
+    kinds = ["image", "audio", "video"]
+    rows = {name: [] for name in MEDIA_SCHEMA.names}
+    for i in range(n):
+        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+        kind = kinds[i % 3]
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(h * (8 + i % 17))
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        rows["width"].append(64 + (i % 8) * 16 if kind != "audio" else 0)
+        rows["height"].append(48 + (i % 8) * 12 if kind != "audio" else 0)
+        rows["duration_ms"].append(0 if kind == "image" else 1000 + i * 37)
+    return pa.table({n_: pa.array(rows[n_], MEDIA_SCHEMA.field(n_).type)
+                     for n_ in MEDIA_SCHEMA.names})
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract images.
+
+    STUB: real deploys load a decoder + model in ``__init__`` (once per
+    actor) and decode ``payload`` per batch. Here ``strict=False``
+    computes a deterministic fake feature vector from the payload bytes
+    so the pipeline shape (schema in/out, batching, actor reuse) is
+    fully exercised; ``strict=True`` raises NotImplementedError exactly
+    where the real decoder call belongs."""
+
+    def __init__(self, feature_dim: int = 16, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+        # real version: self.model = load_model(...)  # once per actor
+
+    def _decode_and_embed(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires PIL/torchvision — not available in this container"
+            )
+        # deterministic fake: bytes → normalized histogram-ish vector
+        h = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._decode_and_embed(p)
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "feature": pa.array([f.tolist() for f in feats],
+                                    pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample frame offsets from video rows.
+
+    STUB decode (no ffmpeg here): emits the deterministic frame-offset
+    plan (what a real sampler would seek to) as one row per frame —
+    the flat_map layout a real decoder would fill with pixels."""
+
+    def __init__(self, fps_target: float = 1.0):
+        self.fps_target = fps_target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, offsets = [], []
+        for mid, kind, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            step = int(1000 / self.fps_target)
+            for off in range(0, int(dur), step):
+                ids.append(mid)
+                offsets.append(off)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_offset_ms": pa.array(offsets, pa.int64()),
+            }
+        )
+
+
+def media_feature_pipeline(ds: ray.data.Dataset, concurrency: int = 2,
+                           batch_size: int = 16) -> ray.data.Dataset:
+    """Binary payloads are wide → small batch_size; extractor is a
+    callable class → actor pool with per-actor setup."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

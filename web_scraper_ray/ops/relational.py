@@ -1,0 +1,169 @@
+"""Relational / windowed operators proving the general engine on the
+TPC-H-ish testdata tables — each has a DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Float discipline for oracle hash-matching: monetary aggregates are
+rounded to integer cents PER ROW before summation (integer sums are
+exact and order-independent; float sums are not associative). Both the
+Ray pipeline and the SQL oracle apply the identical per-row rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 analog over lineitem (groupby shuffle with per-batch
+    partial pre-aggregation done by Ray's aggregate implementation)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"]
+        disc = batch["l_discount"]
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        # floor(x+0.5) == round-half-away-from-zero for positive values,
+        # matching DuckDB round(); Arrow's default is half-to-even
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(price, pa.scalar(100.0)),
+                                        pa.scalar(0.5))), pa.int64())
+        disc_cents = pc.cast(pc.floor(pc.add(pc.multiply(disc_price, pa.scalar(100.0)),
+                                             pa.scalar(0.5))), pa.int64())
+        qty = pc.cast(batch["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "base_cents": cents,
+                "disc_cents": disc_cents,
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Global top-k by total price (sort shuffle + limit); pass-through
+    doubles are bit-stable, ties broken by orderkey."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer revenue per market segment — broadcast hash
+    join: the small dimension side is ray.put once and probed per batch
+    (guide: 'small side → broadcast'), no shuffle of orders."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        df = df.copy()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        df["price_cents"] = np.floor(df["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        return df[["c_mktsegment", "price_cents"]]
+
+    return (
+        orders.map_batches(join_batch, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (event_type, hour) count + exact
+    integer value sum (stream-shaped analog; guide 'Streaming-shaped
+    workloads')."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        df["value_e4"] = np.floor(df["value"] * 10000.0 + 0.5).astype("int64")
+        return df[["event_type", "hour", "value_e4"]]
+
+    return (
+        ev.map_batches(derive, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_e4", alias_name="sum_value_e4"),
+                   Count(alias_name="n_events"))
+    )
+
+
+def last_purchase_asof(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """As-of join analog of the reference's transcript→chapter
+    assignment (``contxt/youtube_handler.py:72-113``: each line joins
+    the last chapter with start_time <= t): each event is annotated with
+    the timestamp of the same user's most recent purchase event at or
+    before it (ordered by (ts, event_id) — the deterministic total
+    order the chapter cursor requires, SURVEY.md §2.5 J2).
+
+    Shuffle key is a coarse user-hash bucket; within a bucket the scan
+    is a vectorized per-user cummax over the sorted frame."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["user_id"].astype("int64") % n_buckets
+        return df
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        marker = g["ts"].where(g["event_type"] == "purchase")
+        # grouped forward-fill = "last marker at or before t" (pandas
+        # cumulative ops preserve NaN positions, so cummax would not
+        # propagate — ffill is the correct as-of semantics)
+        g["last_purchase_ts"] = marker.groupby(g["user_id"]).ffill()
+        return g[["event_id", "user_id", "ts", "event_type", "last_purchase_ts"]]
+
+    return (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+def lang_counts(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def source_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source document stats (count, min/max/sum of n_chars)."""
+    return (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )

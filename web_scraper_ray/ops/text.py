@@ -1,0 +1,140 @@
+"""Text analysis operators over a document table.
+
+All counting operators emit exact integers so results are bit-stable
+under any execution order (and hash-comparable against a DuckDB oracle):
+ratios are left to the consumer (`n_x / n_words`).
+
+* token estimation — the reference's own estimator ``len(text)//4``
+  (``contxt/scraper.py:426``) plus whitespace word count
+  (``scraper.py:534``).
+* quality counts — length / punctuation / stopword / uppercase counts
+  (quality-score family for training-data filtering).
+* language ID — character-trigram cosine heuristic (pure, deterministic;
+  no external models).
+* fingerprint — rolling polynomial hash over word shingles (document
+  fingerprinting for near-dup blocking).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def text_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized counting stage for ``map_batches(batch_format='pandas')``.
+
+    Emits: n_chars, est_tokens (len//4), n_words (\\S+ runs), n_punct
+    (non-word non-space chars), n_upper (ASCII uppercase), n_stop
+    (stopword occurrences, whitespace-tokenized, case-sensitive lower)."""
+    s = df[text_col].fillna("")
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        if c != text_col:
+            out[c] = df[c]
+    out["n_chars"] = s.str.len().astype("int64")
+    out["est_tokens"] = (out["n_chars"] // 4).astype("int64")
+    out["n_words"] = s.str.count(r"\S+").astype("int64")
+    out["n_punct"] = s.str.count(r"[^\w\s]").astype("int64")
+    out["n_upper"] = s.str.count(r"[A-Z]").astype("int64")
+    out["n_stop"] = s.map(
+        lambda t: sum(1 for w in t.lower().split() if w in STOPWORDS)
+    ).astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram heuristic)
+
+_LANG_PROFILES = {
+    # tiny trigram profiles of function-word patterns; deterministic and
+    # self-contained (heuristic quality, not a model)
+    "en": ("the", " th", "he ", "ing", "and", " of", "ion", " to", "ed "),
+    "de": ("der", "ein", "und", "sch", "ich", "die", " de", "en ", "ung"),
+    "fr": ("les", " de", "des", "ent", " le", "que", "ion", "ait", " la"),
+    "es": (" de", "los", " la", "que", "ción", "ado", " el", "las", "nte"),
+}
+
+
+class LangIdModel:
+    """Stateful stage: profiles built once per actor (``__init__``),
+    scored per batch — the actor-pool pattern (SURVEY.md §2.4)."""
+
+    def __init__(self):
+        self.profiles = {k: tuple(v) for k, v in _LANG_PROFILES.items()}
+
+    def predict(self, text: str) -> str:
+        t = f" {text.lower()} "
+        best, best_score = "unknown", 0
+        for lang, grams in self.profiles.items():
+            score = sum(t.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pred_lang"] = df["text"].fillna("").map(self.predict)
+        return df
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    words = text.split()
+    return np.array(
+        [hash_word(w) for w in words], dtype=np.uint64
+    ) if words else np.array([], dtype=np.uint64)
+
+
+def hash_word(w: str) -> int:
+    h = 0
+    for ch in w.encode("utf-8"):
+        h = (h * _FP_BASE + ch) % _FP_MOD
+    return h
+
+
+def rolling_fingerprint(text: str, k: int = 5) -> int:
+    """Min-hash of rolling polynomial hashes over word k-grams — a
+    single 64-bit document fingerprint (equal fingerprints ⇒ likely
+    shared k-gram content)."""
+    hs = _word_hashes(text)
+    if len(hs) == 0:
+        return 0
+    if len(hs) < k:
+        acc = 0
+        for h in hs.tolist():
+            acc = (acc * _FP_BASE + int(h)) % _FP_MOD
+        return acc
+    best = _FP_MOD
+    acc_pows = pow(_FP_BASE, k - 1, _FP_MOD)
+    acc = 0
+    for h in hs[:k].tolist():
+        acc = (acc * _FP_BASE + int(h)) % _FP_MOD
+    best = min(best, acc)
+    for i in range(k, len(hs)):
+        acc = (acc - int(hs[i - k]) * acc_pows) % _FP_MOD
+        acc = (acc * _FP_BASE + int(hs[i])) % _FP_MOD
+        best = min(best, acc)
+    return best
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text", k: int = 5) -> pd.DataFrame:
+    df = df.copy()
+    df["fingerprint"] = df[text_col].fillna("").map(lambda t: rolling_fingerprint(t, k)).astype("uint64")
+    return df
