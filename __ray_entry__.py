@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_lang_counts(sf_dir: str):
         return rel.lang_counts(sf_dir)
 
+    def q_source_concat(sf_dir: str):
+        return rel.source_concat(sf_dir)
+
+    def q_session_windows(sf_dir: str):
+        return rel.session_windows(sf_dir)
+
     def q_source_stats(sf_dir: str):
         return rel.source_stats(sf_dir)
 
@@ -266,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "asof_last_purchase": q_asof_last_purchase,
         "lang_counts": q_lang_counts,
+        "source_concat": q_source_concat,
+        "session_windows": q_session_windows,
         "source_stats": q_source_stats,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
@@ -330,6 +338,42 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "source_concat": """
+            SELECT source,
+                   string_agg('Doc ' || rn || ': ' || text,
+                              chr(10) || chr(10) || repeat('=', 40) || chr(10) || chr(10)
+                              ORDER BY rn) AS combined,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT source, text,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            )
+            GROUP BY source
+        """,
+        "session_windows": """
+            SELECT user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY MIN(ts)) AS BIGINT)
+                       AS session_idx,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id, ts, event_id,
+                       SUM(is_new) OVER (ORDER BY user_id, ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_no
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+            )
+            GROUP BY user_id, session_no
         """,
         "source_stats": """
             SELECT source,

@@ -149,3 +149,60 @@ def test_engine_max_pages_budget(ray_session, small_corpus, tmp_path_factory,
     order_df = load_crawl_order(ckpt)
     assert len(order_df) == len(m_order) <= 15
     assert list(order_df["url"]) == [r["url"] for r in m_order]
+
+
+def test_crawl_empty_and_invalid_seeds(ray_session, small_corpus, tmp_path):
+    """All-invalid seed lists must terminate cleanly with zero rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    seeds = pa.table({
+        "seed_index": pa.array([0, 1], pa.int64()),
+        "url": pa.array(["not-a-url", "/relative"], pa.string()),
+    })
+    sp = str(tmp_path / "bad_seeds.parquet")
+    pq.write_table(seeds, sp)
+    res = run_crawl(f"{small_corpus}/pages", sp, str(tmp_path / "ckpt"),
+                    config=CFG)
+    assert res.n_admitted == 0 and res.n_fetched == 0
+    assert len(load_crawl_order(str(tmp_path / "ckpt"))) == 0
+
+
+def test_crawl_robots_block_all(ray_session, small_corpus, tmp_path):
+    """A robots table disallowing / on every host admits nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from web_scraper_ray.crawl.frontier import run_crawl
+
+    hosts = [f"host{h:04d}.example" for h in range(12)]
+    robots = pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "disallow_prefixes": pa.array([["/"]] * len(hosts), pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([100] * len(hosts), pa.int64()),
+    })
+    rp = str(tmp_path / "robots_all.parquet")
+    pq.write_table(robots, rp)
+    res = run_crawl(f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet",
+                    str(tmp_path / "ckpt2"), robots_path=rp, config=CFG)
+    assert res.n_admitted == 0
+
+
+def test_crawl_depth_zero(ray_session, small_corpus, tmp_path, model_result):
+    """max_depth=0 fetches exactly the admitted seeds, no expansion."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+    from web_scraper_ray.crawl.model import sequential_crawl
+
+    cfg0 = CrawlConfig(max_depth=0, seen_shards=2)
+    robots = RobotsRules.from_parquet(f"{small_corpus}/robots.parquet",
+                                      cfg0.default_crawl_delay_ms)
+    m_order, m_seen = sequential_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", robots, cfg0
+    )
+    res = run_crawl(f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet",
+                    str(tmp_path / "ckpt3"),
+                    robots_path=f"{small_corpus}/robots.parquet", config=cfg0)
+    order = load_crawl_order(str(tmp_path / "ckpt3"))
+    assert list(order["url"]) == [r["url"] for r in m_order]
+    assert res.seen.snapshot() == m_seen
+    assert (order["round"] == 0).all()

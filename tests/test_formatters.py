@@ -354,3 +354,32 @@ def test_config_merge():  # config.py:48-72
 
     cc = crawl_config_from({"scraping": {"max_depth": 3, "ignore_patterns": ["/x/"]}})
     assert cc.max_depth == 3 and cc.ignore_patterns == ("/x/",)
+
+
+def test_expand_collections_ds(ray_session):
+    import ray.data
+    from web_scraper_ray.functions.youtube import expand_collections_ds
+
+    rows = [
+        {"collection_id": "PL1", "kind": "playlist",
+         "video_ids": [f"vid{i:08d}xyz"[:11] for i in range(40)]},
+        {"collection_id": "ch1", "kind": "channel", "video_ids": ["abcdefghijk"]},
+        {"collection_id": "PL2", "kind": "playlist", "video_ids": []},
+    ]
+    out = expand_collections_ds(ray.data.from_items(rows), max_videos=30).to_pandas()
+    pl1 = out[out["collection_id"] == "PL1"]
+    assert len(pl1) == 30  # T3 cap
+    assert list(pl1["video_index"]) == list(range(30))
+    assert out[out["collection_id"] == "ch1"]["url"].iloc[0] == \
+        "https://www.youtube.com/watch?v=abcdefghijk"
+    assert len(out[out["collection_id"] == "PL2"]) == 0
+
+
+def test_token_stage(ray_session):
+    import ray.data
+    from web_scraper_ray.stages.token_stage import token_stage
+
+    ds = ray.data.from_items([{"content_html": "<p>" + "abcd" * 25 + "</p>"}])
+    out = token_stage(ds, concurrency=1).to_pandas()
+    # fallback estimator: len including tags // 4 (scraper.py:426)
+    assert out["token_count"].iloc[0] == (100 + 7) // 4

@@ -2,15 +2,20 @@
 
 Implements EXACTLY the crawl semantics of the sequential spec in
 ``model.py`` (see its docstring for the contract), re-expressed as
-streaming Dataset rounds (SURVEY.md §3.4, §7.6). Each round is TWO
-Dataset executions with ONE all-to-all shuffle:
+streaming Dataset rounds (SURVEY.md §3.4, §7.6). Each round is ONE
+Dataset execution with ONE all-to-all shuffle:
 
-    1. fetch+extract:  pages corpus scan → broadcast is_in filter
-                       → map_batches(extract_batch) → output_r parquet
-    2. discovery:      output_r links → flat_map candidates (validity /
-                       ignore / robots filters) → host-bucket groupby
-                       fusing [in-round dedup → seen-shard screen →
-                       virtual-time assignment] → frontier_{r+1} parquet
+    pages corpus scan → broadcast is_in filter
+      → map_batches(extract_batch)
+      → in-pipeline output_r parquet write (idempotent per-batch files)
+      → flat_map link candidates (validity / ignore / robots filters)
+      → host-bucket groupby fusing [in-round dedup → seen-shard screen
+        → virtual-time assignment]
+      → frontier_{r+1} parquet sink
+
+so extraction, the output write, discovery, and the admission shuffle
+all overlap under the streaming executor, and the corpus is scanned
+exactly once per round.
 
 The fusion is legal because every candidate URL of one host lands in
 that host's hash bucket (bucket = f(host), url → host is a function),
@@ -101,7 +106,19 @@ CANDIDATE_SCHEMA = pa.schema(
 
 FRONTIER_COLUMNS = ["url", "host", "priority", "pvt", "pli", "vt"]
 ORDER_KEYS = ["vt", "priority", "pvt", "pli", "url"]
-N_BUCKETS = 64
+
+
+def _n_buckets() -> int:
+    """Admission shuffle width: ~2 reduce tasks per core, floor 16.
+    The bucket VALUE for a url is ``url_hash64(host) % _n_buckets()``, so
+    it must stay constant within one crawl (it does: cluster size is
+    fixed for a run; resume on a different size is safe because buckets
+    only shape task granularity, never semantics)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(16, 2 * cpus) if cpus else 64
 
 
 class CrawlResult:
@@ -127,7 +144,8 @@ def _new_rows() -> dict:
 
 
 def _push_candidate(rows: dict, canon: str, priority: int, pvt: float, pli: int,
-                    w_pri: int, w_pvt: float, w_pli: int, w_canon: str) -> None:
+                    w_pri: int, w_pvt: float, w_pli: int, w_canon: str,
+                    n_buckets: int) -> None:
     host = extract_host(canon)
     rows["url"].append(canon)
     rows["host"].append(host)
@@ -138,11 +156,12 @@ def _push_candidate(rows: dict, canon: str, priority: int, pvt: float, pli: int,
     rows["w_pvt"].append(w_pvt)
     rows["w_pli"].append(w_pli)
     rows["w_canon"].append(w_canon)
-    rows["bucket"].append(url_hash64(host) % N_BUCKETS)
+    rows["bucket"].append(url_hash64(host) % n_buckets)
 
 
 def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.data.Dataset:
     ds = ray.data.read_parquet(seeds_path)
+    n_buckets = _n_buckets()  # driver-side: one consistent value per run
 
     def to_cands(batch: pa.Table) -> pa.Table:
         robots: RobotsRules = ray.get(robots_ref)
@@ -162,7 +181,8 @@ def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.da
                 continue
             if config.respect_robots and not robots.is_allowed(canon):
                 continue
-            _push_candidate(rows, canon, int(pri), -1.0, int(sidx), 0, -1.0, 0, "")
+            _push_candidate(rows, canon, int(pri), -1.0, int(sidx), 0, -1.0, 0, "",
+                            n_buckets)
         return _candidate_table(rows)
 
     return ds.map_batches(to_cands, batch_format="pyarrow")
@@ -172,6 +192,7 @@ def _link_candidates(
     output_ds: ray.data.Dataset, meta_ref, robots_ref, config: CrawlConfig
 ) -> ray.data.Dataset:
     """Fetched round output → next-round candidate rows (discovery)."""
+    n_buckets = _n_buckets()  # driver-side: one consistent value per run
 
     def expand(batch: pa.Table) -> pa.Table:
         meta: dict = ray.get(meta_ref)  # url -> (priority, vt, pvt, pli)
@@ -187,7 +208,8 @@ def _link_candidates(
                     continue
                 if config.respect_robots and not robots.is_allowed(canon):
                     continue
-                _push_candidate(rows, canon, p_pri, p_vt, li, p_pri, p_pvt, p_pli, url)
+                _push_candidate(rows, canon, p_pri, p_vt, li, p_pri, p_pvt, p_pli, url,
+                                n_buckets)
         return _candidate_table(rows)
 
     return output_ds.map_batches(expand, batch_format="pyarrow")
@@ -249,13 +271,24 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray
 # fetch + extract
 
 def _fetch_and_extract(
-    pages_path: str, admitted_urls_ref, meta_ref, round_no: int
+    pages_path: str, admitted_urls_ref, meta_ref, round_no: int, odir: str
 ) -> ray.data.Dataset:
     """Corpus-backed fetch: one pass over the pages table filtered to the
     round's admitted URL set (broadcast once), then the extraction
     kernel. A live deployment swaps this scan for an actor-pool HTTP
-    fetcher; the scan is the offline stand-in (module doc, scale notes)."""
-    pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    fetcher; the scan is the offline stand-in (module doc, scale notes).
+
+    The round output parquet is written INSIDE the pipeline (one file
+    per extracted batch, content-derived idempotent names, so task
+    retries overwrite rather than duplicate) and only the slim
+    ``(url, links)`` table flows on to the discovery stages — one
+    execution and one corpus pass per round, with extraction, the
+    write, and discovery all overlapped by the streaming executor."""
+    from ..pipelines.flagship import _default_blocks
+
+    os.makedirs(odir, exist_ok=True)
+    pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
+                                  override_num_blocks=_default_blocks())
 
     def keep_admitted(batch: pa.Table) -> pa.Table:
         value_set: pa.Array = ray.get(admitted_urls_ref)
@@ -264,14 +297,25 @@ def _fetch_and_extract(
     fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
     extracted = fetched.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
 
-    def attach_meta(batch: pa.Table) -> pa.Table:
+    def write_and_slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "links": pa.array([], pa.list_(pa.string()))})
         meta: dict = ray.get(meta_ref)
-        vts = [meta[u][1] for u in batch["url"].to_pylist()]
-        return batch.append_column("vt", pa.array(vts, pa.float64())).append_column(
+        urls = batch["url"].to_pylist()
+        vts = [meta[u][1] for u in urls]
+        full = batch.append_column("vt", pa.array(vts, pa.float64())).append_column(
             "depth", pa.array([round_no] * batch.num_rows, pa.int64())
         )
+        import hashlib
 
-    return extracted.map_batches(attach_meta, batch_format="pyarrow")
+        name = hashlib.blake2b(
+            f"{urls[0]}|{urls[-1]}|{batch.num_rows}".encode(), digest_size=8
+        ).hexdigest()
+        pq.write_table(full, os.path.join(odir, f"part-{name}.parquet"))
+        return batch.select(["url", "links"])
+
+    return extracted.map_batches(write_and_slim, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -401,9 +445,10 @@ def run_crawl(
             pages_budget -= n_admitted
 
         # round-bounded driver state: admitted keys + per-host counts
-        hosts = adm_tbl["host"].to_pylist()
-        for h in hosts:
-            host_counts[h] = host_counts.get(h, 0) + 1
+        import collections
+
+        for h, c in collections.Counter(adm_tbl["host"].to_pylist()).items():
+            host_counts[h] = host_counts.get(h, 0) + c
         meta = {
             u: (p, v, pv, pl)
             for u, p, v, pv, pl in zip(
@@ -417,27 +462,29 @@ def run_crawl(
         meta_ref = ray.put(meta)
         admitted_urls_ref = ray.put(pa.array(list(meta.keys()), pa.string()))
 
-        # execution 1: fetch + extract → round output
-        out_ds = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r)
+        # ONE execution per round: corpus scan → extract (+ in-pipeline
+        # output write) → discovery → fused admit → next frontier
         odir = os.path.join(checkpoint_dir, f"output_{r:04d}")
-        out_ds.write_parquet(odir)
+        out_slim = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r, odir)
+        n_next = 0
+        if r < config.max_depth:
+            cands = _link_candidates(out_slim, meta_ref, robots_ref, config)
+            nxt = _admit(cands, seen, ray.put(dict(host_counts)), robots_ref)
+            ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
+            nxt.write_parquet(ndir)
+            nxt_tbl = _read_dir(checkpoint_dir, f"frontier_{r + 1:04d}", columns=["url"])
+            n_next = nxt_tbl.num_rows if nxt_tbl is not None else 0
+        else:
+            # no expansion: consume the pipeline to drive the writes
+            out_slim.map_batches(
+                lambda t: t.select(["url"]), batch_format="pyarrow"
+            ).count()
         n_fetched = sum(
             pq.read_metadata(os.path.join(odir, f)).num_rows for f in os.listdir(odir)
         ) if os.path.isdir(odir) and os.listdir(odir) else 0
 
         total_admitted += n_admitted
         total_fetched += n_fetched
-
-        # execution 2: discovery → fused admit (dedup+screen+vt) → next frontier
-        n_next = 0
-        if r < config.max_depth and n_fetched > 0:
-            links_ds = ray.data.read_parquet(odir, columns=["url", "links"])
-            cands = _link_candidates(links_ds, meta_ref, robots_ref, config)
-            nxt = _admit(cands, seen, ray.put(dict(host_counts)), robots_ref)
-            ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
-            nxt.write_parquet(ndir)
-            nxt_tbl = _read_dir(checkpoint_dir, f"frontier_{r + 1:04d}", columns=["url"])
-            n_next = nxt_tbl.num_rows if nxt_tbl is not None else 0
 
         _write_manifest(checkpoint_dir, r, {
             "round": r,

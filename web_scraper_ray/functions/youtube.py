@@ -185,6 +185,42 @@ def assign_chapters_ds(
     )
 
 
+def expand_collections_ds(
+    collections: ray.data.Dataset, max_videos: int = 30
+) -> ray.data.Dataset:
+    """Playlist/channel expansion (S8/S9): one collection row
+    ``(collection_id, kind, video_ids: list<string>)`` → ≤ ``max_videos``
+    video rows with the watch URL and a stable ``video_index``
+    (the reference's ``playlistend=max_videos`` cap + enumerate
+    numbering, ``youtube_handler.py:165-204``, ``scraper.py:577``)."""
+    import pyarrow as pa
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cids, kinds, vids, idxs, urls = [], [], [], [], []
+        for cid, kind, ids in zip(
+            batch["collection_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["video_ids"].to_pylist(),
+        ):
+            for i, vid in enumerate((ids or [])[:max_videos]):  # T3 cap
+                cids.append(cid)
+                kinds.append(kind)
+                vids.append(vid)
+                idxs.append(i)
+                urls.append(f"https://www.youtube.com/watch?v={vid}")
+        return pa.table(
+            {
+                "collection_id": pa.array(cids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "video_id": pa.array(vids, pa.string()),
+                "video_index": pa.array(idxs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return collections.map_batches(expand, batch_format="pyarrow")
+
+
 def top_comments_ds(comments: ray.data.Dataset, limit: int = 30) -> ray.data.Dataset:
     """Per-video top-k comments by like_count (T1) — groupby(video_id) +
     stable in-group sort, the distributed form of

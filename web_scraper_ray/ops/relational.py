@@ -149,6 +149,67 @@ def last_purchase_asof(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+def source_concat(sf_dir: str) -> ray.data.Dataset:
+    """Ordered per-group concatenation — the analog of the reference's
+    per-playlist combined transcript (``contxt/scraper.py:577-622``:
+    ``Video {i+1}: title`` headers joined with ``"="*40`` separators,
+    SURVEY.md §2.6 G3), applied per document source with doc_id order."""
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        parts = [f"Doc {i + 1}: {t}" for i, t in enumerate(g["text"])]
+        sep = "\n\n" + "=" * 40 + "\n\n"
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "combined": [sep.join(parts)],
+                "n_docs": [len(g)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "text"])
+        .groupby("source")
+        .map_groups(concat, batch_format="pandas")
+    )
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 60, n_buckets: int = 32) -> ray.data.Dataset:
+    """Gap-based session windows per user (stream-shaped, SURVEY.md
+    §2.9): a new session starts when the gap since the user's previous
+    event exceeds ``gap_minutes``. Emits one row per session with
+    event count and span. Deterministic order key (ts, event_id)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["user_id"].astype("int64") % n_buckets
+        return df
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"] != g["user_id"].shift()
+        gap_break = (g["ts"] - g["ts"].shift()) > gap
+        g = g.copy()
+        g["session_no"] = (new_user | gap_break).cumsum()
+        out = g.groupby(["user_id", "session_no"], sort=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        ).reset_index()
+        # per-user session index (1-based), deterministic
+        out["session_idx"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out[["user_id", "session_idx", "session_start", "session_end", "n_events"]]
+
+    return (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
 def lang_counts(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))

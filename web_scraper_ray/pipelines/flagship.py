@@ -17,10 +17,26 @@ import ray.data
 from ..stages.extract_stage import extract_batch, verify_batch
 
 
-def read_pages(pages_path: str, columns: Optional[list[str]] = None) -> ray.data.Dataset:
+def _default_blocks() -> Optional[int]:
+    """Enough read tasks to keep every core busy even when the corpus
+    has few files (parquet reads split at row-group granularity); a
+    file count below the core count otherwise caps the fused
+    read→extract stage's parallelism."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return None
+    return max(2 * cpus, 16) if cpus else None
+
+
+def read_pages(pages_path: str, columns: Optional[list[str]] = None,
+               override_num_blocks: Optional[int] = None) -> ray.data.Dataset:
     """Read the pages table with column pruning at the read (never load
     ``text``/``lang`` when only extracting)."""
-    return ray.data.read_parquet(pages_path, columns=columns)
+    return ray.data.read_parquet(pages_path, columns=columns,
+                                 override_num_blocks=override_num_blocks)
 
 
 def extract_pipeline(
@@ -30,7 +46,8 @@ def extract_pipeline(
 ) -> ray.data.Dataset:
     """pages → extracted records. With ``out_dir``, writes partitioned
     parquet (one dir per input shard via Ray's natural block layout)."""
-    ds = read_pages(pages_path, columns=["url", "html"])
+    ds = read_pages(pages_path, columns=["url", "html"],
+                    override_num_blocks=_default_blocks())
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
