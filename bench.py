@@ -63,7 +63,7 @@ def run_bench() -> dict:
             n_pages=n_pages,
             n_hosts=max(16, n_pages // 400),
             seed=42,
-            n_seeds=max(50, n_pages // 4),  # large rounds: the workload, not barriers
+            n_seeds=max(50, n_pages // 3),  # large rounds: the workload, not barriers
             links_per_page=6,
             shard_rows=5_000,
             use_ray=True,
@@ -103,7 +103,7 @@ def run_bench() -> dict:
             f"{corpus}/seeds.parquet",
             ckpt,
             robots_path=f"{corpus}/robots.parquet",
-            config=CrawlConfig(max_depth=2, seen_shards=8),
+            config=CrawlConfig(max_depth=2, seen_shards=max(8, num_cpus // 2)),
         )
         crawl_sec = time.time() - t0
         queries["crawl_frontier"] = round(crawl_sec, 3)

@@ -123,3 +123,41 @@ def test_format_markdown_envelope():  # markdown_formatter.py:27-83
 def test_format_markdown_failure_record():  # markdown_formatter.py:29-30
     md = format_markdown({"title": "T", "url": "u", "content": ""})
     assert md == "# Error: T\n\nFailed to fetch content from u"
+
+
+def test_markdown_roundtrip_equivalence():
+    """The fast path (merge_adjacent_text + markdown_from_doc) must be
+    byte-identical to the reference-faithful reparse path
+    (html_to_markdown(serialize(cleaned))) — property-checked over a
+    slice of the synthetic corpus + crafted adjacent-text cases."""
+    from web_scraper_ray.corpus import page_html, url_of
+    from web_scraper_ray.dom import merge_adjacent_text, parse
+    from web_scraper_ray.kernel.clean import clean_document
+    from web_scraper_ray.kernel.markdown import html_to_markdown, markdown_from_doc
+
+    def both(html):
+        doc, _ = clean_document(parse(html))
+        serialized = doc.serialize()
+        slow = html_to_markdown(serialized)
+        merge_adjacent_text(doc)
+        fast = markdown_from_doc(doc)
+        return slow, fast
+
+    for i in range(60):
+        slow, fast = both(page_html(7, i, 200, 20))
+        assert slow == fast, f"divergence at corpus page {i}"
+
+    crafted = [
+        # adjacent text nodes from span removal / li dedup paths
+        "<body><p><span>a</span><span>b</span>tail</p></body>",
+        "<body><ul><li>x</li><li>x</li></ul>after</body>",
+        "<body><p>a &amp; b &lt;c&gt;</p><div></div></body>",
+        "<body><pre><code>if x &lt; 2: pass</code></pre></body>",
+        "<body>just text</body>",
+        "",
+    ]
+    for html in crafted:
+        if not html:
+            continue
+        slow, fast = both(html)
+        assert slow == fast, f"divergence on {html!r}"

@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 from .kernel.extract import extract_page
 
 EPOCH = datetime(2025, 3, 28, 0, 0, 0)  # fixed; tz-naive like the testdata tables
+KERNEL_V = 1  # bump when kernel output could change (invalidates corpus cache)
 SECTIONS = ("articles", "tags", "category", "docs", "blog")
 LANGS = ("en", "de", "fr", "es", "ja")
 
@@ -243,7 +244,9 @@ def build_corpus(
     reruns skip generation). With ``use_ray`` the html+text shards are
     built by Ray tasks (the per-row function is pure → identical output)."""
     marker = os.path.join(out_dir, "_DONE")
-    stamp = f"{n_pages}:{n_hosts}:{seed}:{zipf_s}:{links_per_page}:{n_seeds}"
+    # KERNEL_V invalidates cached corpora whenever the extraction kernel
+    # changes in a way that could alter the text oracle column
+    stamp = f"{n_pages}:{n_hosts}:{seed}:{zipf_s}:{links_per_page}:{n_seeds}:{KERNEL_V}"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -287,6 +287,37 @@ def _serialize_into(node: AnyNode, out: list[str], root: bool = False) -> None:
         out.append(f"</{node.name}>")
 
 
+def merge_adjacent_text(node: Node) -> None:
+    """Normalize a tree to its serialize→parse fixed point, in place.
+
+    For trees this parser produced (lowercase names, decoded entities)
+    with no script/style CDATA content, re-parsing the serialization
+    changes exactly two things: runs of adjacent plain text nodes merge
+    into one, and empty text nodes disappear (``handle_data`` skips
+    empty data). Applying those two rewrites directly is equivalent and
+    skips a full pure-Python parse — used by the extraction kernel's
+    markdown step (a CommentNode is a barrier, never merged)."""
+    new_children: list[AnyNode] = []
+    run: list[str] = []
+    for child in node.children:
+        if type(child) is TextNode:
+            run.append(child.text)
+            continue
+        if run:
+            merged = "".join(run)
+            if merged:
+                new_children.append(TextNode(merged, node))
+            run = []
+        new_children.append(child)
+        if isinstance(child, Node):
+            merge_adjacent_text(child)
+    if run:
+        merged = "".join(run)
+        if merged:
+            new_children.append(TextNode(merged, node))
+    node.children = new_children
+
+
 class _TreeBuilder(HTMLParser):
     """Builds a Node tree. Mirrors bs4's html.parser tree builder for the
     constructs the kernel/corpus use: void elements never take children;

@@ -25,14 +25,18 @@ from typing import Optional, Tuple
 
 from ..dom import CommentNode, Node, TextNode, parse
 
-# scraper.py:280-284 — only the real tag names take effect (see module doc).
-BOILERPLATE_TAGS = [
-    "script", "style", "header", "footer", "nav", "noscript",
-    "form", "button", "input", "iframe", "aside", "svg",
-    "[class*='menu']", "[class*='nav']", "[class*='footer']",
-    "[class*='header']", "[id*='menu']", "[id*='nav']",
-    "[id*='footer']", "[id*='header']",
-]
+# scraper.py:280-284 — only the real tag names take effect (see module
+# doc). frozenset: name-membership is what bs4's name-list matching
+# reduces to, and set lookup beats the reference's 20-entry list scan.
+BOILERPLATE_TAGS = frozenset(
+    [
+        "script", "style", "header", "footer", "nav", "noscript",
+        "form", "button", "input", "iframe", "aside", "svg",
+        "[class*='menu']", "[class*='nav']", "[class*='footer']",
+        "[class*='header']", "[id*='menu']", "[id*='nav']",
+        "[id*='footer']", "[id*='header']",
+    ]
+)
 
 ALLOWED_ATTRS = ("href", "src", "alt")  # scraper.py:293
 
@@ -94,7 +98,21 @@ def concatenate_spans(doc: Node) -> None:
     child list — an intervening text node (even whitespace) breaks it,
     exactly as in the reference. Chained runs fold left-to-right because
     the merged text is written into the next span before it is visited."""
-    parents = doc.find_all(lambda tag: tag.find("span") is not None)
+    # reference: find_all(lambda tag: tag.find('span')) — every element
+    # with a span DESCENDANT, in document order (scraper.py:371). A
+    # literal port rescans descendants per element (O(n^2)); instead
+    # collect each span's ancestor chain and emit the same set in one
+    # document-order pass — identical result, linear time.
+    ancestor_set: set[int] = set()
+    for span in doc.find_all("span"):
+        node = span.parent
+        while node is not None and node.name != "[document]":
+            ancestor_set.add(id(node))
+            node = node.parent
+    if not ancestor_set:
+        return
+    parents = [n for n in doc.descendants()
+               if isinstance(n, Node) and id(n) in ancestor_set]
     for parent in parents:
         children = list(parent.children)
         spans_to_remove = []

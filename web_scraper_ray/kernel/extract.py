@@ -25,10 +25,10 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..dom import Node, parse
+from ..dom import Node, merge_adjacent_text, parse
 from ..functions.urls import resolve_link
 from .clean import clean_document
-from .markdown import html_to_markdown
+from .markdown import markdown_from_doc
 from .tokens import count_tokens
 
 
@@ -77,7 +77,13 @@ def extract_page(html: bytes | str, url: str) -> dict:
     links = extract_links(doc, url)
     cleaned, og = clean_document(doc)  # mutates doc in place
     content_html = cleaned.serialize()
-    text = html_to_markdown(content_html)
+    # Equivalent to html_to_markdown(content_html) — the reference
+    # reparses the serialized soup (markdown_formatter.py:95); the only
+    # tree-level effect of that round trip is adjacent-text merging +
+    # empty-text dropping, applied directly here (dom.merge_adjacent_text,
+    # equivalence locked by test_markdown_roundtrip_equivalence).
+    merge_adjacent_text(cleaned)
+    text = markdown_from_doc(cleaned)
     return {
         "url": url,
         "title": title,

@@ -41,16 +41,32 @@ def _class_list(tag: Optional[Node]) -> list[str]:
 
 
 def find_main_content(doc: Node) -> Node:
-    """markdown_formatter.py:104-114 (same chain in html_formatter.py:220-228)."""
-    main = (
-        doc.find("main")
-        or doc.find("article")
-        or doc.find("div", {"id": "content"})
-        or doc.find("div", {"class": "content"})
-        or doc.find("div", {"role": "main"})
-        or doc.find("body")
-    )
-    return main if main is not None else doc
+    """markdown_formatter.py:104-114 (same chain in html_formatter.py:220-228).
+
+    Single document-order pass recording the first match of each rung of
+    the fallback chain — identical result to six sequential ``find``
+    scans (each ``find`` returns the first match in document order), at
+    one traversal."""
+    first: dict[int, Node] = {}
+    for node in doc.descendants():
+        name = node.name
+        if name == "main":
+            return node  # highest priority; nothing can beat it
+        if name == "article":
+            first.setdefault(1, node)
+        elif name == "div":
+            if 2 not in first and node.attrs.get("id") == "content":
+                first[2] = node
+            if 3 not in first and "content" in (node.attrs.get("class") or "").split():
+                first[3] = node
+            if 4 not in first and node.attrs.get("role") == "main":
+                first[4] = node
+        elif name == "body":
+            first.setdefault(5, node)
+    for rank in (1, 2, 3, 4, 5):
+        if rank in first:
+            return first[rank]
+    return doc
 
 
 def _process_element_iteratively(root: Node, out: list[str]) -> None:
@@ -173,12 +189,12 @@ def _process_element_iteratively(root: Node, out: list[str]) -> None:
                 stack.insert(0, (child, depth + 1))
 
 
-def html_to_markdown(html: str) -> str:
-    """markdown_formatter.py:85-129 — parse, select main content, traverse,
-    post-process."""
-    if not html:
-        return ""
-    doc = parse(html)
+def markdown_from_doc(doc: Node) -> str:
+    """Traverse an already-parsed document. The caller must ensure the
+    tree is at its serialize→parse fixed point (``dom.merge_adjacent_text``)
+    if it was not freshly parsed — the reference always converts from a
+    serialized string (markdown_formatter.py:95), so adjacent text nodes
+    arrive merged."""
     main_content = find_main_content(doc)
     out: list[str] = []
     _process_element_iteratively(main_content, out)
@@ -186,6 +202,14 @@ def html_to_markdown(html: str) -> str:
     clean = _MULTI_NL_RE.sub("\n\n", raw)
     clean = _HEADING_GAP_RE.sub(r"\1\n\n\2", clean)
     return clean
+
+
+def html_to_markdown(html: str) -> str:
+    """markdown_formatter.py:85-129 — parse, select main content, traverse,
+    post-process."""
+    if not html:
+        return ""
+    return markdown_from_doc(parse(html))
 
 
 def format_markdown(
