@@ -195,6 +195,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ds.map_batches(add_block, batch_format="pandas")
         return ngram_jaccard_pairs(ds, block_col="block", threshold=0.35)
 
+    def q_similarity_ivf(sf_dir: str):
+        from web_scraper_ray.ops.similarity import ivf_topk
+
+        return ivf_topk(_emb_nonself(sf_dir), _query_vec(sf_dir), k=10,
+                        n_lists=16, n_probe=6).select_columns(["vec_id"])
+
+    def q_minhash_clusters(sf_dir: str):
+        import pandas as pd
+        import ray.data
+        from web_scraper_ray.ops.dedup import cluster_pairs, minhash_lsh_pairs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+        clusters = cluster_pairs(pairs)
+        return pd.DataFrame(
+            {"doc_id": list(clusters.keys()), "cluster_rep": list(clusters.values())}
+        )
+
     def q_embedding_dups(sf_dir: str):
         import ray.data
         from web_scraper_ray.ops.dedup import embedding_dup_pairs
@@ -280,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
+        "similarity_ivf": q_similarity_ivf,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,

@@ -36,14 +36,15 @@ import pyarrow.parquet as pq
 from .kernel.extract import extract_page
 
 EPOCH = datetime(2025, 3, 28, 0, 0, 0)  # fixed; tz-naive like the testdata tables
-KERNEL_V = 1  # bump when kernel output could change (invalidates corpus cache)
+KERNEL_V = 2  # bump when kernel output could change (invalidates corpus cache)
 SECTIONS = ("articles", "tags", "category", "docs", "blog")
 LANGS = ("en", "de", "fr", "es", "ja")
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
-    "xray yankee zulu data stream crawl frontier shard batch arrow parquet"
+    "xray yankee zulu data stream crawl frontier shard batch arrow parquet "
+    "café naïve 東京 résumé Größe"  # unicode exercises utf-8 + entity paths
 ).split()
 
 MAIN_CONTAINERS = (
@@ -124,7 +125,7 @@ def page_html(seed: int, i: int, n_pages: int, n_hosts: int,
 
     body = (
         f"<h1>{title}</h1>"
-        f"<p class=\"lead\" data-x=\"1\">{_sentence(rng, 12)}</p>"
+        f"<p class=\"lead\" data-x=\"1\">{_sentence(rng, 12)} &amp; more &lt;data&gt;</p>"
         f"<!-- generator comment {i} -->"
         f"<h2>Section {_sentence(rng, 1)}</h2>"
         f"<p>{_sentence(rng, 10)} <strong>{_sentence(rng, 2)}</strong> "
