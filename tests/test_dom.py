@@ -92,3 +92,15 @@ def test_serialize_roundtrip_stable():
     once = parse(html).serialize()
     twice = parse(once).serialize()
     assert once == twice
+
+
+def test_valueless_attrs_normalize_to_empty_string():
+    # bs4's html.parser builder stores <a href> as href="" (html.parser
+    # itself yields None); the markdown kernel then renders [click]()
+    doc = parse("<body><a href>click</a></body>")
+    a = doc.find("a")
+    assert a.get("href", "") == ""
+    assert 'href=""' in doc.serialize()
+    from web_scraper_ray.kernel.markdown import html_to_markdown
+
+    assert "[click]()" in html_to_markdown("<body><p>x</p><a href>click</a></body>")

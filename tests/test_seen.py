@@ -42,10 +42,14 @@ def test_shard_rebuild_preserves_membership():
     assert s.size() == 2000
 
 
-def test_check_and_add_idempotent_and_first_wins():
+def test_check_and_add_within_batch_and_across_rounds():
     s = SeenShard(0, 1)
+    # within one call, a duplicate url is still reported new (the
+    # pending tier answers True until the round commits) — in-round
+    # uniqueness is the admission dedup's job, not the shard's
     first = s.check_and_add(["a", "b", "a"])
-    assert first == [True, True, False]  # in-batch duplicate is not new
+    assert first == [True, True, True]
+    s.commit_round()
     again = s.check_and_add(["a", "b", "c"])
     assert again == [False, False, True]
 
@@ -57,6 +61,20 @@ def test_seenset_routing_and_snapshot(ray_session):
     urls = [f"https://h{i % 7}.example/p{i}" for i in range(100)]
     out = ss.check_and_add(urls)
     assert all(out)
+    ss.commit_round()
     assert ss.check_and_add(urls) == [False] * 100
     assert ss.size() == 100
     assert ss.snapshot() == set(urls)
+
+
+def test_check_and_add_retry_idempotent_until_commit():
+    """A Ray task retry re-asks about urls its failed attempt already
+    added; the pending tier must answer True again (no silent drops)."""
+    s = SeenShard(0, 1)
+    assert s.check_and_add(["a", "b"]) == [True, True]
+    # simulated retry of the same task before the round commits:
+    assert s.check_and_add(["a", "b"]) == [True, True]
+    s.commit_round()
+    assert s.check_and_add(["a", "c"]) == [False, True]
+    assert s.size() == 3
+    assert s.snapshot() == ["a", "b", "c"]

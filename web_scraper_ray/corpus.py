@@ -252,6 +252,12 @@ def build_corpus(
         with open(marker) as f:
             if f.read().strip() == stamp:
                 return out_dir
+    # stamp mismatch or fresh dir: clear any stale shards so a smaller
+    # regeneration can't leave old pages (with an outdated text oracle)
+    # mixed into the corpus
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "pages"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
 
     shards = [(lo, min(lo + shard_rows, n_pages)) for lo in range(0, n_pages, shard_rows)]

@@ -286,6 +286,9 @@ def _fetch_and_extract(
     write, and discovery all overlapped by the streaming executor."""
     from ..pipelines.flagship import _default_blocks
 
+    import shutil
+
+    shutil.rmtree(odir, ignore_errors=True)  # crashed-attempt leftovers
     os.makedirs(odir, exist_ok=True)
     pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
                                   override_num_blocks=_default_blocks())
@@ -419,7 +422,12 @@ def run_crawl(
         # Round 0 discovery: seeds → fused admit → frontier_0 (with vt)
         cands = _seed_candidates(seeds_path, robots_ref, config)
         frontier0 = _admit(cands, seen, ray.put({}), robots_ref)
-        frontier0.write_parquet(os.path.join(checkpoint_dir, "frontier_0000"))
+        fdir0 = os.path.join(checkpoint_dir, "frontier_0000")
+        import shutil
+
+        shutil.rmtree(fdir0, ignore_errors=True)  # crashed-attempt leftovers
+        frontier0.write_parquet(fdir0)
+        seen.commit_round()
 
     for r in range(start_round, config.max_depth + 1):
         if pages_budget is not None and pages_budget <= 0:
@@ -436,6 +444,9 @@ def run_crawl(
             adm_df = df.head(pages_budget)
             adm_tbl = pa.Table.from_pandas(adm_df, preserve_index=False)
             adir = os.path.join(checkpoint_dir, f"admitted_{r:04d}")
+            import shutil
+
+            shutil.rmtree(adir, ignore_errors=True)
             os.makedirs(adir, exist_ok=True)
             pq.write_table(adm_tbl, os.path.join(adir, "part-00000.parquet"))
         else:
@@ -471,7 +482,11 @@ def run_crawl(
             cands = _link_candidates(out_slim, meta_ref, robots_ref, config)
             nxt = _admit(cands, seen, ray.put(dict(host_counts)), robots_ref)
             ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
+            import shutil
+
+            shutil.rmtree(ndir, ignore_errors=True)  # crashed-attempt leftovers
             nxt.write_parquet(ndir)
+            seen.commit_round()  # frontier durable -> fold pending adds
             nxt_tbl = _read_dir(checkpoint_dir, f"frontier_{r + 1:04d}", columns=["url"])
             n_next = nxt_tbl.num_rows if nxt_tbl is not None else 0
         else:

@@ -98,7 +98,8 @@ class SeenShard:
     def __init__(self, shard_id: int, n_shards: int, filter_capacity: int = 4096):
         self.shard_id = shard_id
         self.n_shards = n_shards
-        self.exact: set[str] = set()
+        self.exact: set[str] = set()  # committed (previous rounds)
+        self.pending: set[str] = set()  # added during the current round
         self.filter = CuckooFilter(filter_capacity)
 
     def contains_batch(self, urls: list[str]) -> list[bool]:
@@ -107,24 +108,39 @@ class SeenShard:
             if not self.filter.contains(u):
                 out.append(False)  # definitive miss — fast path
             else:
-                out.append(u in self.exact)  # confirm (no false drops)
+                out.append(u in self.exact or u in self.pending)  # confirm
         return out
 
     def check_and_add(self, urls: list[str]) -> list[bool]:
-        """For each url: True if it was NEW (and is now added).
-        Idempotent; first call wins on duplicates within the batch."""
+        """For each url: True if it is new *this round* (and is now
+        pending). Two-tier membership makes the call idempotent under
+        Ray task RETRIES: a url added by a failed attempt sits in
+        ``pending``, so the retry sees it as still-new (True) instead of
+        silently dropping it — the round's in-flight additions only
+        become 'seen' when the driver calls :meth:`commit_round` after
+        the round's outputs are durably written."""
         out = []
         for u in urls:
             if self.filter.contains(u) and u in self.exact:
                 out.append(False)
             else:
-                self.exact.add(u)
-                self.filter.insert(u)
+                if u not in self.pending:
+                    self.pending.add(u)
+                    self.filter.insert(u)
                 out.append(True)
         self._maybe_rebuild()
         return out
 
+    def commit_round(self) -> int:
+        """Fold the round's pending additions into the committed set
+        (driver-called at each round boundary, after the frontier
+        parquet for the next round is on disk)."""
+        self.exact |= self.pending
+        self.pending = set()
+        return len(self.exact)
+
     def add_batch(self, urls: list[str]) -> int:
+        """Direct committed-tier add (resume restore path)."""
         for u in urls:
             if u not in self.exact:
                 self.exact.add(u)
@@ -137,16 +153,18 @@ class SeenShard:
         set once load exceeds 90% (resize-from-fingerprints is unsound —
         see CuckooFilter.insert)."""
         if self.filter.load_factor > 0.90:
-            new = CuckooFilter(capacity=max(len(self.exact) * 2, 4096))
+            new = CuckooFilter(capacity=max((len(self.exact) + len(self.pending)) * 2, 4096))
             for u in self.exact:
+                new.insert(u)
+            for u in self.pending:
                 new.insert(u)
             self.filter = new
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self.exact) + len(self.pending)
 
     def snapshot(self) -> list[str]:
-        return sorted(self.exact)
+        return sorted(self.exact | self.pending)
 
 
 class SeenSet:
@@ -184,6 +202,11 @@ class SeenSet:
             out.append(results[sid][cursors[sid]])
             cursors[sid] += 1
         return out
+
+    def commit_round(self) -> None:
+        import ray
+
+        ray.get([s.commit_round.remote() for s in self.shards])
 
     def add(self, urls: list[str]) -> None:
         import ray

@@ -37,8 +37,6 @@ VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
-# Elements whose raw content html.parser delivers as CDATA (no nested tags).
-_CDATA_ELEMENTS = frozenset(("script", "style"))
 
 
 class TextNode:
@@ -330,14 +328,20 @@ class _TreeBuilder(HTMLParser):
         self.root = Node(ROOT_NAME)
         self.stack: list[Node] = [self.root]
 
+    @staticmethod
+    def _attr_dict(attrs) -> dict:
+        # bs4's html.parser builder normalizes valueless attributes
+        # (<a href>) to "" — html.parser itself yields None
+        return {k: (v if v is not None else "") for k, v in attrs}
+
     def handle_starttag(self, tag: str, attrs) -> None:
-        node = Node(tag, dict(attrs))
+        node = Node(tag, self._attr_dict(attrs))
         self.stack[-1].append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        node = Node(tag, dict(attrs))
+        node = Node(tag, self._attr_dict(attrs))
         self.stack[-1].append(node)
 
     def handle_endtag(self, tag: str) -> None:

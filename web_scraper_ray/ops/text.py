@@ -44,11 +44,15 @@ def text_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             out[c] = df[c]
     out["n_chars"] = s.str.len().astype("int64")
     out["est_tokens"] = (out["n_chars"] // 4).astype("int64")
-    out["n_words"] = s.str.count(r"\S+").astype("int64")
-    out["n_punct"] = s.str.count(r"[^\w\s]").astype("int64")
+    # re.ASCII: DuckDB's RE2 \w/\s classes are ASCII-only; Python's are
+    # Unicode by default — the flag keeps the paired oracle exact on
+    # non-ASCII text
+    out["n_words"] = s.str.count(r"\S+", flags=re.ASCII).astype("int64")
+    out["n_punct"] = s.str.count(r"[^\w\s]", flags=re.ASCII).astype("int64")
     out["n_upper"] = s.str.count(r"[A-Z]").astype("int64")
+    ws = re.compile(r"\S+", re.ASCII)
     out["n_stop"] = s.map(
-        lambda t: sum(1 for w in t.lower().split() if w in STOPWORDS)
+        lambda t: sum(1 for w in ws.findall(t.lower()) if w in STOPWORDS)
     ).astype("int64")
     return out
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .functions.urls import sanitize_filename, url_hash64
+from .functions.urls import domain_path_filename, sanitize_filename, url_hash64
 
 
 def derive_filename(
@@ -49,14 +49,10 @@ def derive_filename(
         filename = title
     elif source:
         if "://" in source:
-            parsed_url = urlparse(source)
-            domain = parsed_url.netloc
-            path = parsed_url.path.rstrip("/")
-            if not path:
-                path = "index"
-            else:
-                path = path.replace("/", "_").lstrip("_")
-            filename = f"{domain}_{path}"
+            # same rule as functions.urls.domain_path_filename
+            # (outputs.py:102-113); sanitize is idempotent so the final
+            # pass below is harmless
+            filename = domain_path_filename(source)
         else:
             filename = source
     else:
@@ -122,17 +118,30 @@ def combined_single_file(
 
 
 def run_stats(extracted: ray.data.Dataset) -> dict:
-    """K6/G1 — cli.py:286-297 run totals as a Dataset aggregate."""
-    agg = extracted.aggregate(
-        Count(alias_name="successful_urls"),
-        Sum("token_count", alias_name="total_tokens"),
+    """K6/G1 — cli.py:286-297 run totals. Single pass: per-batch
+    partials → one tiny aggregate (never re-executes the upstream
+    extraction pipeline)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_urls": pa.array([t.num_rows], pa.int64()),
+                "n_tokens": pa.array(
+                    [sum(t["token_count"].to_pylist())], pa.int64()
+                ),
+                "n_images": pa.array(
+                    [sum(len(x or []) for x in t["images"].to_pylist())], pa.int64()
+                ),
+            }
+        )
+
+    agg = extracted.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("n_urls", alias_name="successful_urls"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("n_images", alias_name="total_images"),
     )
-    n_images = extracted.map_batches(
-        lambda t: pa.table({"n": pa.array([sum(len(x or []) for x in t["images"].to_pylist())], pa.int64())}),
-        batch_format="pyarrow",
-    ).sum("n")
     return {
-        "successful_urls": agg["successful_urls"],
-        "total_tokens": agg["total_tokens"],
-        "total_images": int(n_images or 0),
+        "successful_urls": int(agg["successful_urls"] or 0),
+        "total_tokens": int(agg["total_tokens"] or 0),
+        "total_images": int(agg["total_images"] or 0),
     }
