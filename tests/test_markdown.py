@@ -161,3 +161,20 @@ def test_markdown_roundtrip_equivalence():
             continue
         slow, fast = both(html)
         assert slow == fast, f"divergence on {html!r}"
+
+
+def test_post_regex_idempotence():
+    """markdown_formatter.py:123-126 post-regexes are idempotent —
+    re-running the converter's cleanup over its own output changes
+    nothing (SURVEY.md §5.4)."""
+    import re
+
+    from web_scraper_ray.corpus import page_html, url_of
+    from web_scraper_ray.kernel.extract import extract_page
+
+    multi_nl = re.compile(r"\n{3,}")
+    heading_gap = re.compile(r"([^\n])\n(#{1,6} )")
+    for i in range(25):
+        md = extract_page(page_html(3, i, 100, 10), url_of(3, i, 10))["text"]
+        again = heading_gap.sub(r"\1\n\n\2", multi_nl.sub("\n\n", md))
+        assert again == md, i
