@@ -421,6 +421,42 @@ def oracle_sql() -> dict[str, str]:
                                         w -> list_contains({_STOPWORDS_SQL}, w))) AS BIGINT) AS n_stop
             FROM documents
         """,
+        "ngram_jaccard": """
+            WITH blocked AS (
+                SELECT doc_id,
+                       source || '_' || CAST(n_chars // 64 AS VARCHAR) AS block,
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            padded AS (
+                SELECT doc_id, block,
+                       CASE WHEN length(t) < 5 THEN t || repeat(' ', 5 - length(t))
+                            ELSE t END AS t
+                FROM blocked
+            ),
+            positions AS (
+                SELECT doc_id, block, t,
+                       unnest(generate_series(1, length(t) - 4)) AS i
+                FROM padded
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, block, substr(t, i, 5) AS g FROM positions
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM grams a
+                JOIN grams b ON a.block = b.block AND a.g = b.g
+                            AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+        """,
         "similarity_topk": """
             SELECT e.vec_id, e.label
             FROM embeddings e,

@@ -189,7 +189,11 @@ def minhash_lsh_pairs(
                     a_ids.append(getattr(rows[i], id_col))
                     b_ids.append(getattr(rows[j], id_col))
                     jac.append(est)
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "sig_jaccard": jac})
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_ids, dtype="int64"),
+             "id_b": pd.Series(b_ids, dtype="int64"),
+             "sig_jaccard": pd.Series(jac, dtype="float64")}
+        )
 
     pairs = exploded.groupby(["band", "band_key"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
@@ -295,7 +299,11 @@ def simhash_near_pairs(
                     a_ids.append(rows[i][0])
                     b_ids.append(rows[j][0])
                     dists.append(d)
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "hamming": dists})
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_ids, dtype="int64"),
+             "id_b": pd.Series(b_ids, dtype="int64"),
+             "hamming": pd.Series(dists, dtype="int64")}
+        )
 
     cand = hashed.map_batches(explode, batch_format="pandas").groupby(
         ["chunk", "key"]
@@ -335,10 +343,17 @@ def ngram_jaccard_pairs(
     beyond blocks."""
 
     def with_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        # raw gram strings, not hashes: this op is the EXACT member of
+        # the dedup family (and its DuckDB oracle regenerates the same
+        # gram sets with substr()) — hash sets live in minhash/simhash
+        def grams(t: str) -> list[str]:
+            t = " ".join(t.split())
+            if len(t) < k:
+                t = t + " " * (k - len(t))
+            return sorted({t[i : i + k] for i in range(len(t) - k + 1)})
+
         out = df[[id_col, block_col]].copy()
-        out["shingles"] = df[text_col].fillna("").map(
-            lambda t: sorted(int(x) for x in _shingle_hashes(t, k))
-        )
+        out["shingles"] = df[text_col].fillna("").map(grams)
         return out
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -354,7 +369,11 @@ def ngram_jaccard_pairs(
                     a_ids.append(rows[i][0])
                     b_ids.append(rows[j][0])
                     jac.append(v)
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "jaccard": jac})
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_ids, dtype="int64"),
+             "id_b": pd.Series(b_ids, dtype="int64"),
+             "jaccard": pd.Series(jac, dtype="float64")}
+        )
 
     return (
         ds.map_batches(with_shingles, batch_format="pandas")
@@ -407,7 +426,11 @@ def embedding_dup_pairs(
                     a_ids.append(a)
                     b_ids.append(b)
                     cs.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "cosine": cs})
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_ids, dtype="int64"),
+             "id_b": pd.Series(b_ids, dtype="int64"),
+             "cosine": pd.Series(cs, dtype="float64")}
+        )
 
     return (
         ds.select_columns([id_col, vec_col])
