@@ -222,6 +222,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_dup_pairs(ds, threshold=0.9)
 
+    def q_embedding_sim_pairs(sf_dir: str):
+        # exact all-pairs variant (SQL-oracle-checked); the synthetic
+        # embeddings have no true near-dups, so the threshold is set
+        # where similar-but-distinct pairs exist to exercise the math
+        import ray.data
+        from web_scraper_ray.ops.dedup import embedding_dup_pairs
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dup_pairs(ds, threshold=0.42, exact=True).select_columns(
+            ["id_a", "id_b"]
+        )
+
     def q_langid(sf_dir: str):
         import ray.data
         from web_scraper_ray.ops.text import LangIdModel
@@ -305,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
+        "embedding_sim_pairs": q_embedding_sim_pairs,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "crawl_order": q_crawl_order,
@@ -456,6 +469,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+        """,
+        "embedding_sim_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.42
         """,
         "similarity_topk": """
             SELECT e.vec_id, e.label

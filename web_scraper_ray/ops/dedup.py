@@ -392,11 +392,16 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 11,
+    exact: bool = False,
 ) -> ray.data.Dataset:
     """Near-duplicate vectors by cosine ≥ threshold. Blocking: seeded
     random-hyperplane LSH sign-bucket (vectors with cosine ≥ 0.95 agree
     on most hyperplane signs; we probe the exact bucket — recall path at
-    scale is multi-probe). Verification: exact float64 cosine."""
+    scale is multi-probe). Verification: exact float64 cosine.
+
+    ``exact=True`` disables blocking (every vector in one group): full
+    O(n²) comparison — the SQL-oracle-checkable baseline, viable only
+    when the vector table is small/sampled."""
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
@@ -406,7 +411,7 @@ def embedding_dup_pairs(
         signs = (mat @ planes) >= 0
         keys = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
         out = df[[id_col]].copy()
-        out["bkt"] = keys
+        out["bkt"] = 0 if exact else keys
         out["vec"] = [v.tolist() for v in mat]
         return out
 
