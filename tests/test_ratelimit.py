@@ -1,0 +1,64 @@
+"""Live-mode politeness token buckets (deterministic injected clock)."""
+
+import itertools
+
+from web_scraper_ray.crawl.ratelimit import HostTokenBuckets, RateLimiter, throttled_fetch_plan
+from web_scraper_ray.crawl.robots import RobotsRules
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def _rules():
+    return RobotsRules({}, {"slow.example": 1000, "fast.example": 10},
+                       default_delay_ms=100)
+
+
+def test_token_bucket_grants_and_waits():
+    clock = FakeClock()
+    b = HostTokenBuckets(_rules(), 0, 1, burst=1, clock=clock)
+    # first request: token available
+    assert b.acquire_batch(["slow.example"]) == [0.0]
+    # immediately again: must wait ~1s (1000ms delay)
+    (w,) = b.acquire_batch(["slow.example"])
+    assert 0.9 <= w <= 1.0
+    # advance the clock past refill → granted again
+    clock.t = 1.1
+    assert b.acquire_batch(["slow.example"]) == [0.0]
+
+
+def test_per_host_independence():
+    clock = FakeClock()
+    b = HostTokenBuckets(_rules(), 0, 1, clock=clock)
+    assert b.acquire_batch(["slow.example", "fast.example"]) == [0.0, 0.0]
+    waits = b.acquire_batch(["slow.example", "fast.example"])
+    assert waits[0] > waits[1] > 0.0  # slow host waits longer
+
+
+def test_burst_capacity():
+    clock = FakeClock()
+    b = HostTokenBuckets(_rules(), 0, 1, burst=3, clock=clock)
+    grants = list(itertools.chain.from_iterable(
+        b.acquire_batch(["slow.example"]) for _ in range(4)
+    ))
+    assert grants[:3] == [0.0, 0.0, 0.0] and grants[3] > 0.0
+
+
+def test_rate_limiter_actors_and_plan(ray_session):
+    limiter = RateLimiter(_rules(), n_shards=2, burst=1)
+    urls = [
+        "https://slow.example/a",
+        "https://slow.example/b",
+        "https://fast.example/c",
+    ]
+    ready, deferred = throttled_fetch_plan(urls, limiter)
+    # one slow.example url admitted, the second deferred with a wait
+    assert "https://slow.example/a" in ready
+    assert "https://fast.example/c" in ready
+    assert len(deferred) == 1
+    assert deferred[0][0] == "https://slow.example/b" and deferred[0][1] > 0.0

@@ -50,8 +50,29 @@ def extract_pipeline(
                     override_num_blocks=_default_blocks())
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     if out_dir:
+        import json
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)  # no stale part files
         os.makedirs(out_dir, exist_ok=True)
         ds.write_parquet(out_dir)
+        # lineage manifest (atomic rename): input, outputs, row counts —
+        # a rerun can check input+counts instead of re-extracting
+        import pyarrow.parquet as pq
+
+        files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+        manifest = {
+            "input": pages_path,
+            "n_files": len(files),
+            "n_rows": sum(
+                pq.read_metadata(os.path.join(out_dir, f)).num_rows for f in files
+            ),
+            "batch_size": batch_size,
+        }
+        tmp = os.path.join(out_dir, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
     return ds
 
 
