@@ -64,3 +64,28 @@ def test_job_all_invalid(ray_session, small_corpus):
 
     res = run_job(["nope", "/rel"], pages_path=f"{small_corpus}/pages")
     assert res.stats["successful"] == 0 and res.stats["failed"] == 2
+
+
+def test_job_include_images_map(ray_session, small_corpus, corpus_urls, tmp_path):
+    """cli.py:75-79 flow: images downloaded (stub), deduped, hash-named;
+    the formatter's Images section uses local paths via the J1 map."""
+    import glob
+    import os
+
+    from web_scraper_ray.pipelines.job import run_job
+
+    res = run_job(
+        corpus_urls,
+        {
+            "output": {"destination": "file", "directory": str(tmp_path),
+                       "format": "markdown"},
+            "organization": {"single_file": False},
+            "scraping": {"include_images": True},
+        },
+        pages_path=f"{small_corpus}/pages",
+    )
+    imgs = glob.glob(str(tmp_path / "images" / "*"))
+    assert len(imgs) >= 1
+    md = open(res.files[0]).read()
+    assert "## Images" in md
+    assert str(tmp_path / "images") in md  # local path substituted

@@ -156,3 +156,25 @@ def image_pipeline(extracted: ray.data.Dataset, out_dir: str,
         concurrency=concurrency,
     )
     return write_image_files(dedup_images(downloaded), out_dir)
+
+
+def image_pipeline_with_map(extracted: ray.data.Dataset, out_dir: str,
+                            concurrency: int = 2):
+    """Like ``image_pipeline`` but also returns the COMPLETE
+    url→local-path map: duplicate urls resolve to their content's
+    winner file, matching the reference's dup remapping
+    (``scraper.py:467-474``). Returns ``(written_df, url_map)``."""
+    flat = images_flat(extracted)
+    downloaded = flat.map_batches(
+        ImageDownloader, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency,
+    )
+    written = write_image_files(dedup_images(downloaded), out_dir).to_pandas()
+    md5_to_path = dict(zip(written["content_md5"], written["path"]))
+    url_md5 = downloaded.select_columns(["image_url", "content_md5"]).to_pandas()
+    url_map = {
+        u: md5_to_path[m]
+        for u, m in zip(url_md5["image_url"], url_md5["content_md5"])
+        if m in md5_to_path
+    }
+    return written, url_map

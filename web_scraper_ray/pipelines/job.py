@@ -92,8 +92,21 @@ def run_job(
         "total_images": raw_stats["total_images"],
     }
 
+    # include_images + file destination: download (stubbed offline),
+    # md5-dedup, hash-named sink; the resulting url→path map broadcasts
+    # into the formatter stage (cli.py:75-79 + J1 image_map join)
+    image_map: dict = {}
+    if include_images and destination == "file":
+        from ..ops.images import image_pipeline_with_map
+
+        img_dir = os.path.join(
+            os.path.expanduser(out_cfg.get("directory") or os.getcwd()), "images"
+        )
+        _, image_map = image_pipeline_with_map(extracted, img_dir,
+                                               concurrency=concurrency)
+
     formatted = extracted.map_batches(
-        FormatStage(fmt, include_images=include_images),
+        FormatStage(fmt, include_images=include_images, image_map=image_map),
         batch_format="pandas",
         concurrency=concurrency,
     )
