@@ -90,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_asof_last_purchase(sf_dir: str):
         return rel.last_purchase_asof(sf_dir)
 
+    def q_user_running_totals(sf_dir: str):
+        from web_scraper_ray.ops.streaming import ingest_events_incremental
+
+        return ingest_events_incremental(sf_dir)
+
     def q_lang_counts(sf_dir: str):
         return rel.lang_counts(sf_dir)
 
@@ -303,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "events_hourly": q_events_hourly,
         "asof_last_purchase": q_asof_last_purchase,
+        "user_running_totals": q_user_running_totals,
         "lang_counts": q_lang_counts,
         "source_concat": q_source_concat,
         "session_windows": q_session_windows,
@@ -373,6 +379,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "user_running_totals": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_e4,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
+                   MAX(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
         """,
         "source_concat": """
             SELECT source,

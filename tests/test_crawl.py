@@ -206,3 +206,16 @@ def test_crawl_depth_zero(ray_session, small_corpus, tmp_path, model_result):
     assert list(order["url"]) == [r["url"] for r in m_order]
     assert res.seen.snapshot() == m_seen
     assert (order["round"] == 0).all()
+
+
+def test_crawl_order_ds_matches_dataframe(engine_result):
+    """The distributed crawl-order Dataset equals the driver-side
+    DataFrame helper row for row."""
+    from web_scraper_ray.crawl.frontier import crawl_order_ds
+
+    res, order_df = engine_result
+    ds = crawl_order_ds(res.checkpoint_dir)
+    got = ds.to_pandas()
+    assert list(got["url"]) == list(order_df["url"])
+    assert list(got["vt"]) == list(order_df["vt"])
+    assert list(got["round"]) == list(order_df["round"])

@@ -351,6 +351,34 @@ def _read_dir(ckpt: str, name: str, columns=None) -> Optional[pa.Table]:
     return None
 
 
+def crawl_order_ds(checkpoint_dir: str) -> "ray.data.Dataset":
+    """The crawl ordering as a (distributed) Dataset: per-round admitted
+    tables, sorted by the deterministic order key — the scale-path twin
+    of :func:`load_crawl_order` (which materializes a DataFrame for
+    tests/inspection)."""
+    parts = []
+    for r in _complete_rounds(checkpoint_dir):
+        name = f"admitted_{r:04d}"
+        path = os.path.join(checkpoint_dir, name)
+        if not (os.path.isdir(path) and os.listdir(path)):
+            path = os.path.join(checkpoint_dir, f"frontier_{r:04d}")
+        if os.path.isdir(path) and os.listdir(path):
+            ds = ray.data.read_parquet(path)
+            ds = ds.map_batches(
+                lambda t, _r=r: t.append_column(
+                    "round", pa.array([_r] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+            parts.append(ds)
+    if not parts:
+        return ray.data.from_items([])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(["round"] + ORDER_KEYS)
+
+
 def load_crawl_order(checkpoint_dir: str) -> pd.DataFrame:
     """The deterministic crawl ordering: admitted tables sorted by
     (round, vt, priority, pvt, pli, url). Driver-side (test/inspection
