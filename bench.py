@@ -162,10 +162,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same bench at 8 and 32 CPUs in fresh processes (north-rule
-    two-cluster-size evidence)."""
+    """Same bench at two N-vs-4N pairs in fresh processes (north-rule
+    two-cluster-size evidence): 4v16 (both legs below full-box
+    saturation — the cleaner analog of independent nodes) and 8v32
+    (the 4N leg saturates every core of this one machine; see
+    BASELINE.md for the ceiling analysis)."""
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (4, 16, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -176,17 +179,24 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+
+    def pair(lo, hi):
+        t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+        return {
+            f"sec_{lo}": t_lo,
+            f"sec_{hi}": t_hi,
+            f"urls_per_sec_{lo}": results[lo]["urls_per_sec"],
+            f"urls_per_sec_{hi}": results[hi]["urls_per_sec"],
+            f"extract_pages_per_sec_{lo}": results[lo]["extract_pages_per_sec"],
+            f"extract_pages_per_sec_{hi}": results[hi]["extract_pages_per_sec"],
+            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+
     return {
-        "sec_8": t8,
-        "sec_32": t32,
-        "urls_per_sec_8": results[8]["urls_per_sec"],
-        "urls_per_sec_32": results[32]["urls_per_sec"],
-        "extract_pages_per_sec_8": results[8]["extract_pages_per_sec"],
-        "extract_pages_per_sec_32": results[32]["extract_pages_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "pair_4v16": pair(4, 16),
+        "pair_8v32": pair(8, 32),
+        "scaling_efficiency": pair(4, 16)["scaling_efficiency"],
+        "scaling_efficiency_8v32": pair(8, 32)["scaling_efficiency"],
         "sf": results[32]["sf"],
     }
 

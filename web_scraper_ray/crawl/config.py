@@ -9,7 +9,7 @@ the shared parameter set consumed by both the sequential model
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -14,7 +14,6 @@ expansion (SURVEY.md §2.1 S8)."""
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import Optional
 
 import pyarrow as pa
 

@@ -29,7 +29,7 @@ to text at parse time and re-escape minimally at serialization.
 from __future__ import annotations
 
 from html.parser import HTMLParser
-from typing import Callable, Iterator, Optional, Union
+from typing import Iterator, Optional, Union
 
 # HTML void elements (no closing tag, serialized self-closed like bs4's
 # html.parser builder renders them).

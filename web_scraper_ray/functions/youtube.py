@@ -12,7 +12,7 @@ tables (FIXTURES.md §5) and the functions below operate on those.
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Tuple
 
 import pandas as pd
 

@@ -21,9 +21,9 @@ list only.
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Tuple
 
-from ..dom import CommentNode, Node, TextNode, parse
+from ..dom import CommentNode, Node, parse
 
 # scraper.py:280-284 — only the real tag names take effect (see module
 # doc). frozenset: name-membership is what bs4's name-list matching

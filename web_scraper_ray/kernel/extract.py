@@ -23,8 +23,6 @@ Pipeline per page:
 
 from __future__ import annotations
 
-from typing import Optional
-
 from ..dom import Node, merge_adjacent_text, parse
 from ..functions.urls import resolve_link
 from .clean import clean_document

@@ -13,7 +13,7 @@ import html as html_mod
 import re
 from typing import Optional
 
-from ..dom import CommentNode, Node, TextNode, parse
+from ..dom import CommentNode, TextNode, parse
 from .markdown import find_main_content
 
 BLOCK_ELEMENTS = frozenset(

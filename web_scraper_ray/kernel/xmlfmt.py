@@ -29,7 +29,7 @@ import xml.dom.minidom
 import xml.etree.ElementTree as ET
 from typing import Optional
 
-from ..dom import Node, TextNode, parse
+from ..dom import Node, parse
 
 TAG_MAPPING = {
     # xml_formatter.py:31-91

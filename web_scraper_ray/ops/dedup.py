@@ -21,7 +21,6 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray.data
 

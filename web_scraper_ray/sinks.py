@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from .functions.urls import domain_path_filename, sanitize_filename, url_hash64
 

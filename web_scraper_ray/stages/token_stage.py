@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..kernel.tokens import _TAG_RE, count_tokens
+from ..kernel.tokens import _TAG_RE
 
 
 class TokenCounter:
