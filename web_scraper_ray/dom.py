@@ -263,26 +263,36 @@ def escape_attr(value: str) -> str:
 
 
 def _serialize_into(node: AnyNode, out: list[str], root: bool = False) -> None:
-    if isinstance(node, CommentNode):
-        out.append(f"<!--{node.text}-->")
-        return
-    if isinstance(node, TextNode):
-        out.append(escape_text(node.text))
-        return
-    is_root = root and node.name == ROOT_NAME
-    if not is_root:
-        attrs = "".join(
-            f" {k}" if v is None else f' {k}="{escape_attr(v)}"'
-            for k, v in node.attrs.items()
-        )
-        if node.name in VOID_ELEMENTS and not node.children:
-            out.append(f"<{node.name}{attrs}/>")
-            return
-        out.append(f"<{node.name}{attrs}>")
-    for child in node.children:
-        _serialize_into(child, out)
-    if not is_root:
-        out.append(f"</{node.name}>")
+    """Iterative serializer (explicit stack): arbitrary nesting depth
+    must not hit Python's recursion limit — crawled pages are
+    adversarial input."""
+    # stack holds either nodes to open or ready-made closing strings
+    stack: list = [(node, root)]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            out.append(item)
+            continue
+        cur, is_root_slot = item
+        if isinstance(cur, CommentNode):
+            out.append(f"<!--{cur.text}-->")
+            continue
+        if isinstance(cur, TextNode):
+            out.append(escape_text(cur.text))
+            continue
+        is_root = is_root_slot and cur.name == ROOT_NAME
+        if not is_root:
+            attrs = "".join(
+                f" {k}" if v is None else f' {k}="{escape_attr(v)}"'
+                for k, v in cur.attrs.items()
+            )
+            if cur.name in VOID_ELEMENTS and not cur.children:
+                out.append(f"<{cur.name}{attrs}/>")
+                continue
+            out.append(f"<{cur.name}{attrs}>")
+            stack.append(f"</{cur.name}>")
+        for child in reversed(cur.children):
+            stack.append((child, False))
 
 
 def merge_adjacent_text(node: Node) -> None:
@@ -294,26 +304,32 @@ def merge_adjacent_text(node: Node) -> None:
     into one, and empty text nodes disappear (``handle_data`` skips
     empty data). Applying those two rewrites directly is equivalent and
     skips a full pure-Python parse — used by the extraction kernel's
-    markdown step (a CommentNode is a barrier, never merged)."""
-    new_children: list[AnyNode] = []
-    run: list[str] = []
-    for child in node.children:
-        if type(child) is TextNode:
-            run.append(child.text)
-            continue
+    markdown step (a CommentNode is a barrier, never merged).
+
+    Iterative (explicit worklist): depth-proof against adversarial
+    nesting, like the serializer."""
+    worklist: list[Node] = [node]
+    while worklist:
+        cur = worklist.pop()
+        new_children: list[AnyNode] = []
+        run: list[str] = []
+        for child in cur.children:
+            if type(child) is TextNode:
+                run.append(child.text)
+                continue
+            if run:
+                merged = "".join(run)
+                if merged:
+                    new_children.append(TextNode(merged, cur))
+                run = []
+            new_children.append(child)
+            if isinstance(child, Node):
+                worklist.append(child)
         if run:
             merged = "".join(run)
             if merged:
-                new_children.append(TextNode(merged, node))
-            run = []
-        new_children.append(child)
-        if isinstance(child, Node):
-            merge_adjacent_text(child)
-    if run:
-        merged = "".join(run)
-        if merged:
-            new_children.append(TextNode(merged, node))
-    node.children = new_children
+                new_children.append(TextNode(merged, cur))
+        cur.children = new_children
 
 
 class _TreeBuilder(HTMLParser):

@@ -78,9 +78,18 @@ class FormatStage:
         self.format_type = format_type
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rendered = [
-            self.fmt(record_from_row(row)) for row in df.to_dict(orient="records")
-        ]
+        rendered = []
+        for row in df.to_dict(orient="records"):
+            try:
+                rendered.append(self.fmt(record_from_row(row)))
+            except Exception as e:  # adversarial page: an error document,
+                # not a poisoned batch (the XML/HTML renderers recurse
+                # like the reference's and can hit depth limits)
+                rendered.append(
+                    f"# Error: {row.get('title', '')}\n\n"
+                    f"Failed to render {row.get('url', '')}: "
+                    f"{type(e).__name__}"
+                )
         out = df[[c for c in ("url", "host", "group_key", "title") if c in df.columns]].copy()
         out["formatted"] = rendered
         out["format"] = self.format_type

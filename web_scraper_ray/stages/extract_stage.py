@@ -40,17 +40,32 @@ EXTRACT_SCHEMA = pa.schema(
         ("images", pa.list_(IMAGE_STRUCT)),
         ("links", pa.list_(pa.string())),
         ("token_count", pa.int64()),
+        ("extract_ok", pa.bool_()),
+        ("extract_error", pa.string()),
     ]
 )
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """pages(url, html, …) → extracted records (EXTRACT_SCHEMA)."""
+    """pages(url, html, …) → extracted records (EXTRACT_SCHEMA).
+
+    Per-row error containment: a kernel failure on one malformed page
+    becomes an ``extract_ok=False`` row (empty content, error message),
+    never an exception — a thrown exception would poison the whole
+    batch and, with retries, the whole pipeline (SURVEY.md §4.1: app
+    errors are a status column, not control flow)."""
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
     cols: dict[str, list] = {name: [] for name in EXTRACT_SCHEMA.names}
     for url, html in zip(urls, htmls):
-        rec = extract_page(html, url)
+        try:
+            rec = extract_page(html, url)
+            ok, err = True, ""
+        except Exception as e:  # malformed page: keep crawling
+            rec = {"title": "", "text": "", "content_html": "", "og_title": "",
+                   "og_description": "", "og_image": "", "images": [],
+                   "links": [], "token_count": 0}
+            ok, err = False, f"{type(e).__name__}: {e}"[:200]
         cols["url"].append(url)
         cols["host"].append(extract_host(url))
         cols["group_key"].append(path_prefix(url))
@@ -63,6 +78,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         cols["images"].append(rec["images"])
         cols["links"].append(rec["links"])
         cols["token_count"].append(rec["token_count"])
+        cols["extract_ok"].append(ok)
+        cols["extract_error"].append(err)
     return pa.table(
         {name: pa.array(cols[name], EXTRACT_SCHEMA.field(name).type) for name in EXTRACT_SCHEMA.names},
         schema=EXTRACT_SCHEMA,
