@@ -455,7 +455,8 @@ def oracle_sql() -> dict[str, str]:
             WITH blocked AS (
                 SELECT doc_id,
                        source || '_' || CAST(n_chars // 64 AS VARCHAR) AS block,
-                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+                       trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ') AS t
                 FROM documents
             ),
             padded AS (

@@ -329,8 +329,8 @@ def test_format_stage_and_sinks(ray_session, small_corpus, tmp_path):
     extracted = extract_pipeline(f"{small_corpus}/pages")
     formatted = extracted.map_batches(FormatStage("markdown"), batch_format="pandas",
                                       concurrency=2)
-    n = write_formatted_files(formatted, str(tmp_path / "files"), "md")
-    assert n == 120
+    paths = write_formatted_files(formatted, str(tmp_path / "files"), "md")
+    assert len(paths) == 120
     assert len(glob.glob(str(tmp_path / "files" / "*.md"))) == 120
 
     sample = formatted.limit(4)

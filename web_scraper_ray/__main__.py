@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     p.add_argument("--crawl", action="store_true",
                    help="run the frontier crawl from the seeds")
     p.add_argument("--checkpoint-dir", default="/tmp/wsr_cli_ckpt")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from an existing checkpoint dir")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -76,10 +78,17 @@ def main(argv=None) -> int:
                                       "seeds.parquet")
             pq.write_table(seeds, seeds_path)
             robots = os.path.join(args.corpus, "robots.parquet")
+            if not args.resume:
+                # a stale checkpoint from a previous crawl would mix its
+                # rounds into this one's crawl-order view
+                import shutil
+
+                shutil.rmtree(args.checkpoint_dir, ignore_errors=True)
             res = run_crawl(
                 f"{args.corpus}/pages", seeds_path, args.checkpoint_dir,
                 robots_path=robots if os.path.exists(robots) else None,
                 config=crawl_config_from(config),
+                resume=args.resume,
             )
             print(json.dumps({
                 "rounds": res.rounds,

@@ -82,13 +82,17 @@ class FormatStage:
         for row in df.to_dict(orient="records"):
             try:
                 rendered.append(self.fmt(record_from_row(row)))
-            except Exception as e:  # adversarial page: an error document,
-                # not a poisoned batch (the XML/HTML renderers recurse
-                # like the reference's and can hit depth limits)
+            except Exception:  # adversarial page: an error document in
+                # the SELECTED format, not a poisoned batch (the
+                # XML/HTML renderers recurse like the reference's and
+                # can hit depth limits). Rendering the formatter's own
+                # empty-content error form keeps .xml/.html outputs
+                # structurally valid (markdown_formatter.py:29-30,
+                # xml_formatter.py:114-115, html_formatter.py:58-59).
                 rendered.append(
-                    f"# Error: {row.get('title', '')}\n\n"
-                    f"Failed to render {row.get('url', '')}: "
-                    f"{type(e).__name__}"
+                    self.fmt({"url": row.get("url", ""),
+                              "title": row.get("title", ""),
+                              "content": ""})
                 )
         out = df[[c for c in ("url", "host", "group_key", "title") if c in df.columns]].copy()
         out["formatted"] = rendered

@@ -344,9 +344,17 @@ def ngram_jaccard_pairs(
     def with_shingles(df: pd.DataFrame) -> pd.DataFrame:
         # raw gram strings, not hashes: this op is the EXACT member of
         # the dedup family (and its DuckDB oracle regenerates the same
-        # gram sets with substr()) — hash sets live in minhash/simhash
+        # gram sets with substr()) — hash sets live in minhash/simhash.
+        # ASCII whitespace normalization, matching the oracle exactly
+        # (DuckDB RE2 \s and trim() are ASCII; Python str.split is
+        # Unicode — the explicit class keeps both sides identical on
+        # non-ASCII text)
+        import re as _re
+
+        _ws = _re.compile(r"[ \t\n\r\f\v]+")
+
         def grams(t: str) -> list[str]:
-            t = " ".join(t.split())
+            t = _ws.sub(" ", t).strip(" ")
             if len(t) < k:
                 t = t + " " * (k - len(t))
             return sorted({t[i : i + k] for i in range(len(t) - k + 1)})
@@ -404,13 +412,15 @@ def embedding_dup_pairs(
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        dim = mat.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        signs = (mat @ planes) >= 0
-        keys = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
         out = df[[id_col]].copy()
-        out["bkt"] = 0 if exact else keys
+        if exact:
+            out["bkt"] = 0  # one global group; skip the LSH entirely
+        else:
+            dim = mat.shape[1]
+            rng = np.random.RandomState(seed)
+            planes = rng.standard_normal((dim, n_planes))
+            signs = (mat @ planes) >= 0
+            out["bkt"] = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
         out["vec"] = [v.tolist() for v in mat]
         return out
 

@@ -168,7 +168,7 @@ def image_pipeline_with_map(extracted: ray.data.Dataset, out_dir: str,
     downloaded = flat.map_batches(
         ImageDownloader, batch_format="pyarrow", batch_size=64,
         concurrency=concurrency,
-    )
+    ).materialize()  # two consumers below: download exactly once
     written = write_image_files(dedup_images(downloaded), out_dir).to_pandas()
     md5_to_path = dict(zip(written["content_md5"], written["path"]))
     url_md5 = downloaded.select_columns(["image_url", "content_md5"]).to_pandas()

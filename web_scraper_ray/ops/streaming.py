@@ -74,8 +74,11 @@ def ingest_events_incremental(
         columns=["user_id", "ts", "value", "event_type", "event_id"],
     ).sort(["ts", "event_id"])  # the log's arrival order
 
+    n_rows = ev.count()
+    batch_size = max(1, -(-n_rows // micro_batches))  # ceil: N micro-batches
+
     pending: list = []
-    for batch in ev.iter_batches(batch_size=None, batch_format="pandas"):
+    for batch in ev.iter_batches(batch_size=batch_size, batch_format="pandas"):
         # micro-batch feed: rows route to their key's shard; within one
         # feed call the per-key ts order is preserved (batch is sorted)
         batch = batch.copy()

@@ -51,9 +51,13 @@ def extract_pipeline(
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
     if out_dir:
         import json
-        import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)  # no stale part files
+        # clear only our own stale artifacts — never the whole dir (the
+        # caller may keep unrelated files there)
+        if os.path.isdir(out_dir):
+            for f in os.listdir(out_dir):
+                if f.endswith(".parquet") or f.startswith("_manifest.json"):
+                    os.remove(os.path.join(out_dir, f))
         os.makedirs(out_dir, exist_ok=True)
         ds.write_parquet(out_dir)
         # lineage manifest (atomic rename): input, outputs, row counts —

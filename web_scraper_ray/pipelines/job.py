@@ -79,8 +79,17 @@ def run_job(
         lambda t: t.filter(pa.compute.equal(t["status"], "fetched")),
         batch_format="pyarrow",
     )
-    n_fetched_total = ok.count()
-    extracted = ok.map_batches(extract_batch, batch_format="pyarrow", batch_size=64)
+    # materialize ONCE: stats, the image pipeline, and the output stage
+    # all consume this — without pinning, the fetch+extract chain would
+    # re-execute per consumer (job inputs are a seed list, small)
+    extracted = ok.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=64
+    ).map_batches(
+        # a fetched page whose extraction failed counts as FAILED, like
+        # the reference's empty-content gate (cli.py:69-72, 302-304)
+        lambda t: t.filter(t["extract_ok"]),
+        batch_format="pyarrow",
+    ).materialize()
 
     # stats single-pass over the extraction output (cli.py:286-297)
     raw_stats = run_stats(extracted)
@@ -142,12 +151,10 @@ def run_job(
             with open(combined_path, "w", encoding="utf-8") as f:
                 f.write(combined)
         else:
-            write_formatted_files(formatted, out_dir, extension,
-                                  custom_name=out_cfg.get("custom_name"))
-            files = sorted(
-                os.path.join(out_dir, f) for f in os.listdir(out_dir)
-                if f.endswith(f".{extension}")
-            )
+            files = sorted(write_formatted_files(
+                formatted, out_dir, extension,
+                custom_name=out_cfg.get("custom_name"),
+            ))
     else:  # print (and the clipboard analog: the caller gets the string)
         if single_file and stats["successful"] > 1:
             printed = [combined_single_file(formatted, ["seed_index"])]

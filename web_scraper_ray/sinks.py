@@ -74,10 +74,12 @@ def write_formatted_files(
     out_dir: str,
     extension: str = "md",
     custom_name: Optional[str] = None,
-) -> int:
+) -> list[str]:
     """Distributed file sink (K1): each formatted record lands in a file
     named by the reference's rules + hash suffix. Parallel-safe and
-    idempotent (same input → same names → overwrite-in-place)."""
+    idempotent (same input → same names → overwrite-in-place). Returns
+    the exact paths written (never inferred from a directory listing,
+    which could include unrelated or stale files)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,7 +101,7 @@ def write_formatted_files(
         return out
 
     written = ds.map_batches(write_batch, batch_format="pandas")
-    return written.count()
+    return written.to_pandas()["path"].tolist()
 
 
 def combined_single_file(
