@@ -27,6 +27,45 @@ import pyarrow.parquet as pq
 from ..functions.urls import url_hash64
 
 
+def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[tuple[str, ...], Optional[int]]:
+    """Parse a robots.txt body → (disallow_prefixes, crawl_delay_ms).
+
+    Subset a polite crawler needs: ``User-agent`` group matching (the
+    given agent or ``*``; most-specific group wins), ``Disallow`` path
+    prefixes (empty Disallow = allow all), ``Crawl-delay`` seconds →
+    ms. Comments (#) and unknown directives are ignored; a malformed
+    file yields no restrictions (crawlers must not die on bad robots)."""
+    groups: dict[str, dict] = {}
+    current: list[str] = []
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            agent = value.lower()
+            groups.setdefault(agent, {"disallow": [], "delay": None})
+            current = [agent]
+        elif key == "disallow" and current:
+            if value:
+                for a in current:
+                    groups[a]["disallow"].append(value)
+        elif key == "crawl-delay" and current:
+            try:
+                delay_ms = int(float(value) * 1000)
+                for a in current:
+                    groups[a]["delay"] = delay_ms
+            except ValueError:
+                pass
+    ua = user_agent.lower()
+    chosen = groups.get(ua) or groups.get("*")
+    if not chosen:
+        return (), None
+    return tuple(chosen["disallow"]), chosen["delay"]
+
+
 class RobotsRules:
     """In-memory robots rule set; pure lookups, safely broadcastable."""
 
@@ -54,6 +93,22 @@ class RobotsRules:
     @classmethod
     def empty(cls, default_delay_ms: int = 100) -> "RobotsRules":
         return cls({}, {}, default_delay_ms)
+
+    @classmethod
+    def from_robots_txt(cls, bodies: dict[str, str], default_delay_ms: int = 100,
+                        user_agent: str = "*") -> "RobotsRules":
+        """Build rules from fetched robots.txt bodies (host → text) —
+        the live-crawl path feeding the same rule object the engine and
+        the cache actors consume."""
+        disallow: dict[str, tuple[str, ...]] = {}
+        delays: dict[str, int] = {}
+        for host, text in bodies.items():
+            prefixes, delay = parse_robots_txt(text, user_agent)
+            if prefixes:
+                disallow[host] = prefixes
+            if delay is not None:
+                delays[host] = delay
+        return cls(disallow, delays, default_delay_ms)
 
     def is_allowed(self, canonical_url: str) -> bool:
         host = urlparse(canonical_url).netloc
