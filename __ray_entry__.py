@@ -147,6 +147,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
         )
 
+    def q_quality_filter(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.text import quality_filter
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return quality_filter(ds)
+
+    def q_near_dedup(sf_dir: str):
+        import ray.data
+        from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return remove_near_duplicates(ds).select_columns(["doc_id"])
+
     def q_similarity_topk(sf_dir: str):
         from web_scraper_ray.ops.similarity import brute_force_topk
 
@@ -315,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
+        "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
         "minhash_pairs": q_minhash_pairs,
@@ -493,6 +513,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.42
+        """,
+        "quality_filter": f"""
+            WITH stats AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) // 4 AS BIGINT) AS est_tokens,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+                       CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                            w -> list_contains({_STOPWORDS_SQL}, w)))
+                            AS BIGINT) AS n_stop
+                FROM documents
+            )
+            SELECT * FROM stats
+            WHERE n_words >= 15
+              AND n_chars * 10 <= 120 * n_words
+              AND n_chars * 10 >= 20 * n_words
+              AND n_punct * 10 <= 3 * n_words
+              AND n_stop * 100 >= 0 * n_words
         """,
         "similarity_topk": """
             SELECT e.vec_id, e.label

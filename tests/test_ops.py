@@ -178,3 +178,27 @@ def test_multimodal_plumbing(ray_session):
     frames = ds.map_batches(FrameSampler(fps_target=2.0), batch_format="pyarrow").to_pandas()
     assert (frames["frame_offset_ms"] % 500 == 0).all()
     assert set(frames["media_id"]) <= set(tbl["media_id"].to_pylist())
+
+
+def test_quality_filter(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.text import quality_filter
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over a lazy dog and then "
+                              "runs far away into the quiet woods today"},  # good
+        {"doc_id": 1, "text": "short text"},  # too few words
+        {"doc_id": 2, "text": "!!! ??? ... !!! ??? " * 10},  # punct soup
+        {"doc_id": 3, "text": "pneumonoultramicroscopicsilicovolcanoconiosis " * 20},  # huge words
+    ]
+    out = quality_filter(ray.data.from_items(rows)).to_pandas()
+    assert list(out["doc_id"]) == [0]
+
+
+def test_remove_near_duplicates(docs_ds):
+    from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+    kept = sorted(remove_near_duplicates(docs_ds, concurrency=1).to_pandas()["doc_id"])
+    # 1 (exact dup of 0), 2 and 5 (near dups of 0) drop; reps + uniques stay
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept

@@ -239,6 +239,34 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def remove_near_duplicates(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """The composite training-data op: MinHash-LSH pairs → union-find
+    clusters → keep only each cluster's representative (min id) plus
+    all unclustered docs. The broadcast drop-set is tiny (cluster
+    members minus reps ≪ corpus); the corpus itself is only filtered,
+    never shuffled."""
+    import ray
+
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
+                              jaccard_threshold=jaccard_threshold,
+                              **minhash_kwargs).to_pandas()
+    clusters = cluster_pairs(pairs)
+    drop = frozenset(k for k, rep in clusters.items() if k != rep)
+    drop_ref = ray.put(drop)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        return df.loc[~df[id_col].isin(d)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
