@@ -219,3 +219,23 @@ def test_crawl_order_ds_matches_dataframe(engine_result):
     assert list(got["url"]) == list(order_df["url"])
     assert list(got["vt"]) == list(order_df["vt"])
     assert list(got["round"]) == list(order_df["round"])
+
+
+def test_bucketed_fetch_join_parity(ray_session, small_corpus, tmp_path_factory,
+                                    engine_result, model_result):
+    """The bucketed merge fetch-join (the 10^10-scale path) produces the
+    identical crawl to the default broadcast join."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, fetch_join="bucketed")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bucketed"))
+    res = run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order = load_crawl_order(ckpt)
+    _, order_bc = engine_result
+    assert list(zip(order["round"], order["url"], order["vt"])) == list(
+        zip(order_bc["round"], order_bc["url"], order_bc["vt"])
+    )
+    assert res.seen.snapshot() == model_result[1]

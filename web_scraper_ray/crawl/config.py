@@ -20,3 +20,7 @@ class CrawlConfig:
     max_pages: int | None = None  # global cap on fetched pages (by crawl order)
     seen_shards: int = 8
     respect_robots: bool = True
+    # fetch-join strategy: "broadcast" (admitted set ray.put once —
+    # until a round outgrows driver memory) or "bucketed" (partitioned
+    # hash semi-join, the 10^10-frontier path; frontier.py docstring)
+    fetch_join: str = "broadcast"

@@ -47,13 +47,16 @@ counters from the last manifest, and continues at the first round
 without a manifest.
 
 Scale notes (10^10 frontier, SURVEY.md §7):
-* The fetch-join broadcasts the round's admitted URL set (``ray.put``
-  once, ``pyarrow.compute.is_in`` per batch) — the small-side-broadcast
-  pattern. When a round outgrows driver memory, the documented path is
-  the bucketed merge join (hash(url) % B buckets on both sides,
-  per-bucket ``map_groups``); this file's bucket column already exists
-  on the frontier side. In a live deployment the corpus scan is
-  replaced by an actor-pool HTTP fetcher and no join exists at all.
+* The fetch-join is pluggable (CrawlConfig.fetch_join): ``broadcast``
+  ships the round's admitted URL set once via ``ray.put`` (vectorized
+  ``is_in`` per batch — zero shuffle, right until a round outgrows the
+  driver); ``bucketed`` is the implemented 10^10-scale path — a
+  partitioned hash semi-join co-locating corpus and (html-less)
+  frontier rows by ``url_hash64(url) % B`` in one groupby, so the
+  admitted set never resides in a single process. Both produce
+  byte-identical crawls (test_bucketed_fetch_join_parity). In a live
+  deployment the corpus scan is replaced by an actor-pool HTTP fetcher
+  and no join exists at all.
 * Hot hosts serialize only their *ordering* (a vectorized per-host
   cumcount inside the bucket task), not their fetches; a host with k
   candidates costs O(k log k) in one task — salt ``host#chunk`` for
@@ -270,13 +273,71 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray
 # --------------------------------------------------------------------------
 # fetch + extract
 
+def _bucketed_fetch_join(pages: ray.data.Dataset, adm_tbl: pa.Table) -> ray.data.Dataset:
+    """Partitioned hash semi-join: pages ⋉ admitted on url, co-located
+    by ``url_hash64(url) % B``. The frontier side ships only
+    (url, bucket) — no html — so the shuffle payload beyond the corpus
+    scan itself is negligible; the corpus side moves once (the price of
+    not holding the admitted set in any single process)."""
+    n_buckets = _n_buckets()
+
+    adm_urls = adm_tbl["url"].to_pylist()
+    frontier_side = pa.table(
+        {
+            "url": pa.array(adm_urls, pa.string()),
+            "html": pa.array([b""] * len(adm_urls), pa.binary()),
+            "side": pa.array(["f"] * len(adm_urls), pa.string()),
+            "bucket": pa.array(
+                [url_hash64(u) % n_buckets for u in adm_urls], pa.int64()
+            ),
+        }
+    )
+
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.table(
+            {
+                "url": batch["url"],
+                "html": pc.cast(batch["html"], pa.binary()),
+                "side": pa.array(["p"] * batch.num_rows, pa.string()),
+                "bucket": pa.array(
+                    [url_hash64(u) % n_buckets for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    both = pages.map_batches(tag_pages, batch_format="pyarrow").union(
+        ray.data.from_arrow(frontier_side)
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        wanted = set(g.loc[g["side"] == "f", "url"])
+        out = g.loc[(g["side"] == "p") & g["url"].isin(wanted), ["url", "html"]]
+        return out
+
+    return both.groupby("bucket").map_groups(join_group, batch_format="pandas")
+
+
 def _fetch_and_extract(
-    pages_path: str, admitted_urls_ref, meta_ref, round_no: int, odir: str
+    pages_path: str, admitted_urls_ref, meta_ref, round_no: int, odir: str,
+    join_mode: str = "broadcast", adm_tbl: Optional[pa.Table] = None,
 ) -> ray.data.Dataset:
-    """Corpus-backed fetch: one pass over the pages table filtered to the
-    round's admitted URL set (broadcast once), then the extraction
-    kernel. A live deployment swaps this scan for an actor-pool HTTP
-    fetcher; the scan is the offline stand-in (module doc, scale notes).
+    """Corpus-backed fetch: one pass over the pages table restricted to
+    the round's admitted URL set, then the extraction kernel. A live
+    deployment swaps this scan for an actor-pool HTTP fetcher; the scan
+    is the offline stand-in (module doc, scale notes).
+
+    Two join strategies (CrawlConfig.fetch_join):
+
+    * ``broadcast`` (default): ``ray.put`` the admitted set once,
+      vectorized ``is_in`` per batch. Right whenever the round's URL
+      set fits comfortably in memory — no shuffle at all.
+    * ``bucketed``: the 10^10-scale path — both sides get
+      ``bucket = url_hash64(url) % B``; the corpus and the (tiny,
+      html-less) frontier rows co-locate via one ``groupby(bucket)``
+      and join inside each group. The admitted set never lives in one
+      process; cost is an all-to-all of the corpus scan, which is why
+      broadcast is preferred until the frontier outgrows the driver.
 
     The round output parquet is written INSIDE the pipeline (one file
     per extracted batch, content-derived idempotent names, so task
@@ -293,11 +354,14 @@ def _fetch_and_extract(
     pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
                                   override_num_blocks=_default_blocks())
 
-    def keep_admitted(batch: pa.Table) -> pa.Table:
-        value_set: pa.Array = ray.get(admitted_urls_ref)
-        return batch.filter(pc.is_in(batch["url"], value_set=value_set))
+    if join_mode == "bucketed":
+        fetched = _bucketed_fetch_join(pages, adm_tbl)
+    else:
+        def keep_admitted(batch: pa.Table) -> pa.Table:
+            value_set: pa.Array = ray.get(admitted_urls_ref)
+            return batch.filter(pc.is_in(batch["url"], value_set=value_set))
 
-    fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
+        fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
     extracted = fetched.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
 
     def write_and_slim(batch: pa.Table) -> pa.Table:
@@ -504,7 +568,8 @@ def run_crawl(
         # ONE execution per round: corpus scan → extract (+ in-pipeline
         # output write) → discovery → fused admit → next frontier
         odir = os.path.join(checkpoint_dir, f"output_{r:04d}")
-        out_slim = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r, odir)
+        out_slim = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r, odir,
+                                      join_mode=config.fetch_join, adm_tbl=adm_tbl)
         n_next = 0
         if r < config.max_depth:
             cands = _link_candidates(out_slim, meta_ref, robots_ref, config)
