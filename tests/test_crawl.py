@@ -239,3 +239,23 @@ def test_bucketed_fetch_join_parity(ray_session, small_corpus, tmp_path_factory,
         zip(order_bc["round"], order_bc["url"], order_bc["vt"])
     )
     assert res.seen.snapshot() == model_result[1]
+
+
+def test_ranked_politeness_parity(ray_session, small_corpus, tmp_path_factory,
+                                  engine_result, model_result):
+    """The range-partitioned two-pass politeness rank (giant-host path)
+    produces the identical crawl to the fused bucket path."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, politeness_mode="ranked")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ranked"))
+    res = run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order = load_crawl_order(ckpt)
+    _, order_fused = engine_result
+    assert list(zip(order["round"], order["url"], order["vt"])) == list(
+        zip(order_fused["round"], order_fused["url"], order_fused["vt"])
+    )
+    assert res.seen.snapshot() == model_result[1]

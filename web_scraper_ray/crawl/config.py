@@ -24,3 +24,7 @@ class CrawlConfig:
     # until a round outgrows driver memory) or "bucketed" (partitioned
     # hash semi-join, the 10^10-frontier path; frontier.py docstring)
     fetch_join: str = "broadcast"
+    # politeness ranking: "fused" (vt inside the admission bucket task —
+    # one host's candidates fit one task) or "ranked" (range-partitioned
+    # two-pass rank; hosts may span blocks — the giant-host path)
+    politeness_mode: str = "fused"

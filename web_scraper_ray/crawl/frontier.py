@@ -221,9 +221,12 @@ def _link_candidates(
 # --------------------------------------------------------------------------
 # the fused per-bucket admission stage
 
-def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray.data.Dataset:
+def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
+           assign_vt: bool = True) -> ray.data.Dataset:
     """ONE shuffle: host-bucket groupby fusing in-round dedup, seen-shard
-    anti-join, and per-host virtual-time assignment (see module doc)."""
+    anti-join, and per-host virtual-time assignment (see module doc).
+    With ``assign_vt=False`` the vt step is skipped (the ranked
+    politeness mode assigns it afterwards, ranked_politeness.py)."""
     shard_handles = seen.shard_handles()
     n_shards = seen.n_shards
 
@@ -255,6 +258,9 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray
                 ("url", "object"), ("host", "object"), ("priority", "int64"),
                 ("pvt", "float64"), ("pli", "int64"), ("vt", "float64"))})
 
+        if not assign_vt:
+            return g[["url", "host", "priority", "pvt", "pli"]].copy()
+
         # 3. politeness: k-th candidate of host (ordered by priority,
         #    pvt, pli, url) gets vt = (base + k) * delay (model.py step 1)
         bases: dict = ray.get(bases_ref)
@@ -268,6 +274,21 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref) -> ray
         return g
 
     return cands.groupby("bucket").map_groups(bucket_admit, batch_format="pandas")
+
+
+def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases: dict,
+                     robots_ref, robots: RobotsRules,
+                     config: CrawlConfig) -> ray.data.Dataset:
+    """Dispatch between the fused bucket politeness (default; one host =
+    one vectorized task) and the range-partitioned two-pass rank
+    (politeness_mode='ranked' — hosts may span blocks; the giant-host
+    path, ranked_politeness.py)."""
+    if config.politeness_mode == "ranked":
+        from .ranked_politeness import assign_virtual_time_ranked
+
+        screened = _admit(cands, seen, ray.put(bases), robots_ref, assign_vt=False)
+        return assign_virtual_time_ranked(screened, bases, robots)
+    return _admit(cands, seen, ray.put(bases), robots_ref)
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +534,7 @@ def run_crawl(
     else:
         # Round 0 discovery: seeds → fused admit → frontier_0 (with vt)
         cands = _seed_candidates(seeds_path, robots_ref, config)
-        frontier0 = _admit(cands, seen, ray.put({}), robots_ref)
+        frontier0 = _admit_with_mode(cands, seen, {}, robots_ref, robots, config)
         fdir0 = os.path.join(checkpoint_dir, "frontier_0000")
         import shutil
 
@@ -573,7 +594,8 @@ def run_crawl(
         n_next = 0
         if r < config.max_depth:
             cands = _link_candidates(out_slim, meta_ref, robots_ref, config)
-            nxt = _admit(cands, seen, ray.put(dict(host_counts)), robots_ref)
+            nxt = _admit_with_mode(cands, seen, dict(host_counts), robots_ref,
+                                   robots, config)
             ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
             import shutil
 
