@@ -259,3 +259,24 @@ def test_ranked_politeness_parity(ray_session, small_corpus, tmp_path_factory,
         zip(order_fused["round"], order_fused["url"], order_fused["vt"])
     )
     assert res.seen.snapshot() == model_result[1]
+
+
+def test_both_scale_modes_together(ray_session, small_corpus, tmp_path_factory,
+                                   model_result):
+    """bucketed fetch-join + ranked politeness composed — the full
+    10^10-frontier configuration — still matches the sequential spec."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    cfg = CrawlConfig(max_depth=2, seen_shards=4,
+                      fetch_join="bucketed", politeness_mode="ranked")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_both"))
+    res = run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order = load_crawl_order(ckpt)
+    m_order, m_seen = model_result
+    assert list(zip(order["round"], order["url"], order["vt"])) == [
+        (r["round"], r["url"], r["vt"]) for r in m_order
+    ]
+    assert res.seen.snapshot() == m_seen
