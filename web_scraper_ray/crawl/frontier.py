@@ -5,8 +5,8 @@ Implements EXACTLY the crawl semantics of the sequential spec in
 streaming Dataset rounds (SURVEY.md §3.4, §7.6). Each round is ONE
 Dataset execution with ONE all-to-all shuffle:
 
-    pages corpus scan → broadcast is_in filter
-      → map_batches(extract_batch)
+    pages corpus scan → fetch-join against the admitted frontier
+      → map_batches(extract_batch)  [frontier meta riding as columns]
       → in-pipeline output_r parquet write (idempotent per-batch files)
       → flat_map link candidates (validity / ignore / robots filters)
       → host-bucket groupby fusing [in-round dedup → seen-shard screen
@@ -42,21 +42,37 @@ Checkpoint/resume (north rule): every round writes ``output_r`` +
 truncates) and then an atomically-renamed ``manifest_r.json`` (lineage,
 row counts, cumulative per-host admitted counts). ``seen`` is exactly
 the union of all frontier files — adds happen only at frontier creation
-— so resume rebuilds the seen shards from those files, restores host
+— so resume rebuilds the seen shards by STREAMING those files through
+``SeenSet.add_dataset`` (never a driver-side URL list), restores host
 counters from the last manifest, and continues at the first round
 without a manifest.
 
+Driver-state discipline (the 10^10-frontier contract): the round loop
+never materializes a round in one process. Per-round driver state is
+O(#hosts) (the cumulative politeness counters, also persisted in the
+manifest) plus scalars:
+
+* frontier row counts come from parquet FOOTER METADATA, not data;
+* budget truncation is a distributed ``sort(ORDER_KEYS).limit(K)``;
+* per-host admitted counts are per-batch ``value_counts`` partials
+  (combiner pattern) merged on the driver — #hosts rows, never #urls;
+* the frontier's (priority, vt, pvt, pli) ride the fetch-join as
+  COLUMNS through extraction into discovery — there is no url→meta
+  broadcast dict anywhere.
+
 Scale notes (10^10 frontier, SURVEY.md §7):
 * The fetch-join is pluggable (CrawlConfig.fetch_join): ``broadcast``
-  ships the round's admitted URL set once via ``ray.put`` (vectorized
-  ``is_in`` per batch — zero shuffle, right until a round outgrows the
-  driver); ``bucketed`` is the implemented 10^10-scale path — a
-  partitioned hash semi-join co-locating corpus and (html-less)
-  frontier rows by ``url_hash64(url) % B`` in one groupby, so the
-  admitted set never resides in a single process. Both produce
-  byte-identical crawls (test_bucketed_fetch_join_parity). In a live
-  deployment the corpus scan is replaced by an actor-pool HTTP fetcher
-  and no join exists at all.
+  loads the round's admitted table (url + meta, no html) into the
+  object store from a Ray task — the driver never holds it — and each
+  fetch task does a vectorized ``index_in`` lookup per batch (zero
+  shuffle, right until a round outgrows one node's object store);
+  ``bucketed`` is the implemented 10^10-scale path — a partitioned
+  hash join co-locating corpus and (html-less) frontier rows by
+  ``url_hash64(url) % B`` in one groupby, so the admitted set never
+  resides in ANY single process. Both produce byte-identical crawls
+  (test_bucketed_fetch_join_parity). In a live deployment the corpus
+  scan is replaced by an actor-pool HTTP fetcher and no join exists at
+  all.
 * Hot hosts serialize only their *ordering* (a vectorized per-host
   cumcount inside the bucket task), not their fetches; a host with k
   candidates costs O(k log k) in one task — salt ``host#chunk`` for
@@ -68,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Optional
 
@@ -109,6 +126,8 @@ CANDIDATE_SCHEMA = pa.schema(
 
 FRONTIER_COLUMNS = ["url", "host", "priority", "pvt", "pli", "vt"]
 ORDER_KEYS = ["vt", "priority", "pvt", "pli", "url"]
+#: frontier metadata that rides the fetch-join → extraction → discovery
+META_COLUMNS = ["priority", "vt", "pvt", "pli"]
 
 
 def _n_buckets() -> int:
@@ -192,17 +211,24 @@ def _seed_candidates(seeds_path: str, robots_ref, config: CrawlConfig) -> ray.da
 
 
 def _link_candidates(
-    output_ds: ray.data.Dataset, meta_ref, robots_ref, config: CrawlConfig
+    output_ds: ray.data.Dataset, robots_ref, config: CrawlConfig
 ) -> ray.data.Dataset:
-    """Fetched round output → next-round candidate rows (discovery)."""
+    """Fetched round output → next-round candidate rows (discovery).
+    Parent ordering metadata arrives as COLUMNS on the slim output
+    (META_COLUMNS) — no url→meta broadcast dict exists."""
     n_buckets = _n_buckets()  # driver-side: one consistent value per run
 
     def expand(batch: pa.Table) -> pa.Table:
-        meta: dict = ray.get(meta_ref)  # url -> (priority, vt, pvt, pli)
         robots: RobotsRules = ray.get(robots_ref)
         rows = _new_rows()
-        for url, links in zip(batch["url"].to_pylist(), batch["links"].to_pylist()):
-            p_pri, p_vt, p_pvt, p_pli = meta[url]
+        for url, links, p_pri, p_vt, p_pvt, p_pli in zip(
+            batch["url"].to_pylist(),
+            batch["links"].to_pylist(),
+            batch["priority"].to_pylist(),
+            batch["vt"].to_pylist(),
+            batch["pvt"].to_pylist(),
+            batch["pli"].to_pylist(),
+        ):
             for li, link in enumerate(links or ()):
                 if not is_valid_url(link):
                     continue
@@ -254,9 +280,11 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
             cursors[sid] += 1
         g = g.loc[mask]
         if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in (
-                ("url", "object"), ("host", "object"), ("priority", "int64"),
-                ("pvt", "float64"), ("pli", "int64"), ("vt", "float64"))})
+            cols = [("url", "object"), ("host", "object"), ("priority", "int64"),
+                    ("pvt", "float64"), ("pli", "int64")]
+            if assign_vt:
+                cols.append(("vt", "float64"))
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols})
 
         if not assign_vt:
             return g[["url", "host", "priority", "pvt", "pli"]].copy()
@@ -294,81 +322,115 @@ def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases: dict,
 # --------------------------------------------------------------------------
 # fetch + extract
 
-def _bucketed_fetch_join(pages: ray.data.Dataset, adm_tbl: pa.Table) -> ray.data.Dataset:
-    """Partitioned hash semi-join: pages ⋉ admitted on url, co-located
-    by ``url_hash64(url) % B``. The frontier side ships only
-    (url, bucket) — no html — so the shuffle payload beyond the corpus
-    scan itself is negligible; the corpus side moves once (the price of
-    not holding the admitted set in any single process)."""
+@ray.remote(num_cpus=0)
+def _load_admitted(adm_dir: str) -> pa.Table:
+    """Broadcast-side load for the broadcast fetch-join: runs as a Ray
+    TASK so the admitted table (url + META_COLUMNS, no html) lands in
+    the shared-memory object store, never on the driver. Downstream
+    tasks ``ray.get`` it zero-copy."""
+    return pq.read_table(adm_dir, columns=["url"] + META_COLUMNS)
+
+
+def _bucketed_fetch_join(pages: ray.data.Dataset,
+                         adm_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Partitioned hash join: pages ⋈ admitted on url, co-located by
+    ``url_hash64(url) % B``. The frontier side ships only
+    (url, META_COLUMNS) — no html — so the shuffle payload beyond the
+    corpus scan itself is negligible; the corpus side moves once (the
+    price of not holding the admitted set in any single process)."""
     n_buckets = _n_buckets()
 
-    adm_urls = adm_tbl["url"].to_pylist()
-    frontier_side = pa.table(
-        {
-            "url": pa.array(adm_urls, pa.string()),
-            "html": pa.array([b""] * len(adm_urls), pa.binary()),
-            "side": pa.array(["f"] * len(adm_urls), pa.string()),
-            "bucket": pa.array(
-                [url_hash64(u) % n_buckets for u in adm_urls], pa.int64()
-            ),
-        }
-    )
-
-    def tag_pages(batch: pa.Table) -> pa.Table:
+    def tag_frontier(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         return pa.table(
             {
                 "url": batch["url"],
-                "html": pc.cast(batch["html"], pa.binary()),
-                "side": pa.array(["p"] * batch.num_rows, pa.string()),
+                "html": pa.array([b""] * len(urls), pa.binary()),
+                "side": pa.array(["f"] * len(urls), pa.string()),
                 "bucket": pa.array(
                     [url_hash64(u) % n_buckets for u in urls], pa.int64()
                 ),
+                "priority": batch["priority"],
+                "vt": batch["vt"],
+                "pvt": batch["pvt"],
+                "pli": batch["pli"],
+            }
+        )
+
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch["url"],
+                "html": pc.cast(batch["html"], pa.binary()),
+                "side": pa.array(["p"] * n, pa.string()),
+                "bucket": pa.array(
+                    [url_hash64(u) % n_buckets for u in urls], pa.int64()
+                ),
+                "priority": pa.array([0] * n, pa.int64()),
+                "vt": pa.array([0.0] * n, pa.float64()),
+                "pvt": pa.array([0.0] * n, pa.float64()),
+                "pli": pa.array([0] * n, pa.int64()),
             }
         )
 
     both = pages.map_batches(tag_pages, batch_format="pyarrow").union(
-        ray.data.from_arrow(frontier_side)
+        adm_ds.map_batches(tag_frontier, batch_format="pyarrow")
     )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        wanted = set(g.loc[g["side"] == "f", "url"])
-        out = g.loc[(g["side"] == "p") & g["url"].isin(wanted), ["url", "html"]]
-        return out
+        f = g.loc[g["side"] == "f", ["url"] + META_COLUMNS]
+        p = g.loc[g["side"] == "p", ["url", "html"]]
+        return p.merge(f, on="url", how="inner")
 
     return both.groupby("bucket").map_groups(join_group, batch_format="pandas")
 
 
+def _extract_with_meta(batch: pa.Table) -> pa.Table:
+    """Extraction kernel with the frontier metadata columns riding
+    through (extract_batch is 1:1 and order-preserving)."""
+    out = extract_batch(batch)
+    for c in META_COLUMNS:
+        out = out.append_column(c, batch[c])
+    return out
+
+
 def _fetch_and_extract(
-    pages_path: str, admitted_urls_ref, meta_ref, round_no: int, odir: str,
-    join_mode: str = "broadcast", adm_tbl: Optional[pa.Table] = None,
+    pages_path: str, adm_dir: str, round_no: int, odir: str,
+    join_mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """Corpus-backed fetch: one pass over the pages table restricted to
     the round's admitted URL set, then the extraction kernel. A live
     deployment swaps this scan for an actor-pool HTTP fetcher; the scan
     is the offline stand-in (module doc, scale notes).
 
+    The admitted frontier is consumed FROM PARQUET (``adm_dir``) —
+    never from a driver-resident table — and its ordering metadata
+    (META_COLUMNS) rides the join output as columns so extraction and
+    discovery need no side-channel lookup.
+
     Two join strategies (CrawlConfig.fetch_join):
 
-    * ``broadcast`` (default): ``ray.put`` the admitted set once,
-      vectorized ``is_in`` per batch. Right whenever the round's URL
-      set fits comfortably in memory — no shuffle at all.
-    * ``bucketed``: the 10^10-scale path — both sides get
-      ``bucket = url_hash64(url) % B``; the corpus and the (tiny,
-      html-less) frontier rows co-locate via one ``groupby(bucket)``
-      and join inside each group. The admitted set never lives in one
-      process; cost is an all-to-all of the corpus scan, which is why
-      broadcast is preferred until the frontier outgrows the driver.
+    * ``broadcast`` (default): a Ray task loads the admitted table into
+      the object store once; each fetch task does one vectorized
+      ``pc.index_in`` per batch (filter + meta gather, zero shuffle).
+      Right whenever the round's url+meta table fits one node's object
+      store.
+    * ``bucketed``: the 10^10-scale path — corpus and (html-less)
+      frontier rows co-locate via one ``groupby(bucket)`` and join
+      inside each group. The admitted set never lives in one process;
+      cost is an all-to-all of the corpus scan, which is why broadcast
+      is preferred until the frontier outgrows a node.
 
     The round output parquet is written INSIDE the pipeline (one file
     per extracted batch, content-derived idempotent names, so task
     retries overwrite rather than duplicate) and only the slim
-    ``(url, links)`` table flows on to the discovery stages — one
-    execution and one corpus pass per round, with extraction, the
-    write, and discovery all overlapped by the streaming executor."""
+    ``(url, links, META_COLUMNS)`` table flows on to the discovery
+    stages — one execution and one corpus pass per round, with
+    extraction, the write, and discovery all overlapped by the
+    streaming executor."""
     from ..pipelines.flagship import _default_blocks
-
-    import shutil
 
     shutil.rmtree(odir, ignore_errors=True)  # crashed-attempt leftovers
     os.makedirs(odir, exist_ok=True)
@@ -376,23 +438,43 @@ def _fetch_and_extract(
                                   override_num_blocks=_default_blocks())
 
     if join_mode == "bucketed":
-        fetched = _bucketed_fetch_join(pages, adm_tbl)
+        adm_ds = ray.data.read_parquet(adm_dir, columns=["url"] + META_COLUMNS)
+        fetched = _bucketed_fetch_join(pages, adm_ds)
     else:
+        adm_ref = _load_admitted.remote(adm_dir)
+
         def keep_admitted(batch: pa.Table) -> pa.Table:
-            value_set: pa.Array = ray.get(admitted_urls_ref)
-            return batch.filter(pc.is_in(batch["url"], value_set=value_set))
+            adm: pa.Table = ray.get(adm_ref)  # zero-copy plasma read
+            idx = pc.index_in(batch["url"], value_set=adm["url"])
+            mask = pc.is_valid(idx)
+            sel = batch.filter(mask)
+            meta = adm.take(pc.filter(idx, mask))
+            out = {"url": sel["url"], "html": sel["html"]}
+            for c in META_COLUMNS:
+                out[c] = meta[c]
+            return pa.table(out)
 
         fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
-    extracted = fetched.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    extracted = fetched.map_batches(_extract_with_meta, batch_format="pyarrow",
+                                    batch_size=256)
+
+    slim_cols = ["url", "links"] + META_COLUMNS
+    from ..stages.extract_stage import EXTRACT_SCHEMA
+
+    full_cols = list(EXTRACT_SCHEMA.names) + ["vt"]
 
     def write_and_slim(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"url": pa.array([], pa.string()),
-                             "links": pa.array([], pa.list_(pa.string()))})
-        meta: dict = ray.get(meta_ref)
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "links": pa.array([], pa.list_(pa.string())),
+                "priority": pa.array([], pa.int64()),
+                "vt": pa.array([], pa.float64()),
+                "pvt": pa.array([], pa.float64()),
+                "pli": pa.array([], pa.int64()),
+            })
         urls = batch["url"].to_pylist()
-        vts = [meta[u][1] for u in urls]
-        full = batch.append_column("vt", pa.array(vts, pa.float64())).append_column(
+        full = batch.select(full_cols).append_column(
             "depth", pa.array([round_no] * batch.num_rows, pa.int64())
         )
         import hashlib
@@ -401,7 +483,7 @@ def _fetch_and_extract(
             f"{urls[0]}|{urls[-1]}|{batch.num_rows}".encode(), digest_size=8
         ).hexdigest()
         pq.write_table(full, os.path.join(odir, f"part-{name}.parquet"))
-        return batch.select(["url", "links"])
+        return batch.select(slim_cols)
 
     return extracted.map_batches(write_and_slim, batch_format="pyarrow")
 
@@ -434,6 +516,40 @@ def _read_dir(ckpt: str, name: str, columns=None) -> Optional[pa.Table]:
     if os.path.isdir(path) and os.listdir(path):
         return pq.read_table(path, columns=columns)
     return None
+
+
+def _parquet_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [os.path.join(path, f) for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")]
+
+
+def _dir_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data is read,
+    no table is materialized (the 10^10-frontier discipline)."""
+    return sum(pq.read_metadata(f).num_rows for f in _parquet_files(path))
+
+
+def _host_count_delta(path: str) -> dict[str, int]:
+    """Per-host admitted counts for one frontier/admitted directory,
+    computed as per-batch ``value_counts`` partials (combiner pattern)
+    merged on the driver — the driver sees #hosts rows, never #urls."""
+    if not _parquet_files(path):
+        return {}
+    ds = ray.data.read_parquet(path, columns=["host"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["host"].combine_chunks())
+        return pa.table({
+            "host": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    delta: dict[str, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        delta[row["host"]] = delta.get(row["host"], 0) + row["n"]
+    return delta
 
 
 def crawl_order_ds(checkpoint_dir: str) -> "ray.data.Dataset":
@@ -512,6 +628,10 @@ def run_crawl(
     start_round = 0
     total_admitted = 0
     total_fetched = 0
+    # per-host counts of the NEXT round's frontier, computed where the
+    # frontier is written so the loop head needs no extra pass (None →
+    # recompute, e.g. on resume or after budget truncation)
+    pending_delta: Optional[dict[str, int]] = None
 
     done_rounds = _complete_rounds(checkpoint_dir) if resume else []
     if done_rounds:
@@ -523,95 +643,90 @@ def run_crawl(
         total_fetched = m["total_fetched"]
         if pages_budget is not None:
             pages_budget -= total_admitted
-        # seen = union of all frontier files written so far (incl. next)
-        seen_urls: list[str] = []
-        for r in range(last + 2):
-            tbl = _read_dir(checkpoint_dir, f"frontier_{r:04d}", columns=["url"])
-            if tbl is not None:
-                seen_urls.extend(tbl["url"].to_pylist())
-        seen.add(seen_urls)
+        # seen = union of all frontier files written so far (incl. next):
+        # STREAMED through the shard actors, never a driver URL list
+        frontier_files = [
+            f
+            for r in range(last + 2)
+            for f in _parquet_files(
+                os.path.join(checkpoint_dir, f"frontier_{r:04d}")
+            )
+        ]
+        if frontier_files:
+            seen.add_dataset(
+                ray.data.read_parquet(frontier_files, columns=["url"])
+            )
         start_round = last + 1
     else:
         # Round 0 discovery: seeds → fused admit → frontier_0 (with vt)
         cands = _seed_candidates(seeds_path, robots_ref, config)
         frontier0 = _admit_with_mode(cands, seen, {}, robots_ref, robots, config)
         fdir0 = os.path.join(checkpoint_dir, "frontier_0000")
-        import shutil
-
         shutil.rmtree(fdir0, ignore_errors=True)  # crashed-attempt leftovers
         frontier0.write_parquet(fdir0)
         seen.commit_round()
+        pending_delta = _host_count_delta(fdir0)
 
     for r in range(start_round, config.max_depth + 1):
         if pages_budget is not None and pages_budget <= 0:
             break
-        frontier_tbl = _read_dir(checkpoint_dir, f"frontier_{r:04d}",
-                                 columns=FRONTIER_COLUMNS)
-        if frontier_tbl is None or frontier_tbl.num_rows == 0:
+        fdir = os.path.join(checkpoint_dir, f"frontier_{r:04d}")
+        n_frontier = _dir_num_rows(fdir)
+        if n_frontier == 0:
             break
         t0 = time.time()
 
-        # budget truncation: global crawl-order sort, keep first K
-        if pages_budget is not None and frontier_tbl.num_rows > pages_budget:
-            df = frontier_tbl.to_pandas().sort_values(ORDER_KEYS, kind="mergesort")
-            adm_df = df.head(pages_budget)
-            adm_tbl = pa.Table.from_pandas(adm_df, preserve_index=False)
+        # budget truncation: DISTRIBUTED crawl-order sort + limit
+        if pages_budget is not None and n_frontier > pages_budget:
             adir = os.path.join(checkpoint_dir, f"admitted_{r:04d}")
-            import shutil
-
             shutil.rmtree(adir, ignore_errors=True)
             os.makedirs(adir, exist_ok=True)
-            pq.write_table(adm_tbl, os.path.join(adir, "part-00000.parquet"))
+            (
+                ray.data.read_parquet(fdir, columns=FRONTIER_COLUMNS)
+                .sort(ORDER_KEYS)
+                .limit(pages_budget)
+                .write_parquet(adir)
+            )
+            adm_dir = adir
+            n_admitted = _dir_num_rows(adir)
+            delta = _host_count_delta(adir)  # truncation changed the set
         else:
-            adm_tbl = frontier_tbl
-        n_admitted = adm_tbl.num_rows
+            adm_dir = fdir
+            n_admitted = n_frontier
+            delta = pending_delta if pending_delta is not None else _host_count_delta(fdir)
+        pending_delta = None
+        for h, c in delta.items():
+            host_counts[h] = host_counts.get(h, 0) + c
         if pages_budget is not None:
             pages_budget -= n_admitted
 
-        # round-bounded driver state: admitted keys + per-host counts
-        import collections
-
-        for h, c in collections.Counter(adm_tbl["host"].to_pylist()).items():
-            host_counts[h] = host_counts.get(h, 0) + c
-        meta = {
-            u: (p, v, pv, pl)
-            for u, p, v, pv, pl in zip(
-                adm_tbl["url"].to_pylist(),
-                adm_tbl["priority"].to_pylist(),
-                adm_tbl["vt"].to_pylist(),
-                adm_tbl["pvt"].to_pylist(),
-                adm_tbl["pli"].to_pylist(),
-            )
-        }
-        meta_ref = ray.put(meta)
-        admitted_urls_ref = ray.put(pa.array(list(meta.keys()), pa.string()))
-
-        # ONE execution per round: corpus scan → extract (+ in-pipeline
-        # output write) → discovery → fused admit → next frontier
+        # ONE execution per round: corpus scan → fetch-join → extract
+        # (+ in-pipeline output write) → discovery → fused admit →
+        # next frontier
         odir = os.path.join(checkpoint_dir, f"output_{r:04d}")
-        out_slim = _fetch_and_extract(pages_path, admitted_urls_ref, meta_ref, r, odir,
-                                      join_mode=config.fetch_join, adm_tbl=adm_tbl)
+        out_slim = _fetch_and_extract(pages_path, adm_dir, r, odir,
+                                      join_mode=config.fetch_join)
         n_next = 0
         if r < config.max_depth:
-            cands = _link_candidates(out_slim, meta_ref, robots_ref, config)
+            cands = _link_candidates(out_slim, robots_ref, config)
             nxt = _admit_with_mode(cands, seen, dict(host_counts), robots_ref,
                                    robots, config)
             ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
-            import shutil
-
             shutil.rmtree(ndir, ignore_errors=True)  # crashed-attempt leftovers
             nxt.write_parquet(ndir)
             seen.commit_round()  # frontier durable -> fold pending adds
-            nxt_tbl = _read_dir(checkpoint_dir, f"frontier_{r + 1:04d}", columns=["url"])
-            n_next = nxt_tbl.num_rows if nxt_tbl is not None else 0
+            # next round's host delta + row count in one tiny host-column
+            # pass (also serves as the write barrier check)
+            pending_delta = _host_count_delta(ndir)
+            n_next = sum(pending_delta.values())
         else:
             # no expansion: consume the pipeline to drive the writes
             out_slim.map_batches(
                 lambda t: t.select(["url"]), batch_format="pyarrow"
             ).count()
         n_fetched = sum(
-            pq.read_metadata(os.path.join(odir, f)).num_rows for f in os.listdir(odir)
-        ) if os.path.isdir(odir) and os.listdir(odir) else 0
+            pq.read_metadata(f).num_rows for f in _parquet_files(odir)
+        )
 
         total_admitted += n_admitted
         total_fetched += n_fetched

@@ -163,7 +163,14 @@ def sequential_crawl(
             fetched_count[host] = fetched_count.get(host, 0) + 1
             if html is None or depth >= config.max_depth:
                 continue
-            links = extract_links(dom_parse(bytes(html).decode("utf-8", "replace")), canon)
+            try:
+                links = extract_links(dom_parse(bytes(html).decode("utf-8", "replace")), canon)
+            except Exception:
+                # mirror the engine's per-row containment
+                # (stages/extract_stage.py:extract_batch): a page whose
+                # kernel raises contributes zero out-links, so
+                # engine == model holds on adversarial corpora too
+                links = []
             for li, link in enumerate(links):
                 if not is_valid_url(link):
                     continue

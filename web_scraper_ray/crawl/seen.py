@@ -214,6 +214,28 @@ class SeenSet:
         routed = self._route(urls)
         ray.get([self.shards[sid].add_batch.remote(us) for sid, us in routed.items()])
 
+    def add_dataset(self, ds) -> None:
+        """Stream a Dataset with a ``url`` column into the committed
+        tier (resume restore path): each map_batches task routes its
+        batch to the shard actors directly, so no URL list is ever
+        collected in one process (the 10^10-frontier discipline)."""
+        import pyarrow as pa
+        import ray
+
+        handles = self.shards
+        n_shards = self.n_shards
+
+        def add_fn(batch: "pa.Table") -> "pa.Table":
+            urls = batch["url"].to_pylist()
+            routed: dict[int, list[str]] = {}
+            for u in urls:
+                routed.setdefault(url_hash64(u) % n_shards, []).append(u)
+            ray.get([handles[sid].add_batch.remote(us)
+                     for sid, us in routed.items()])
+            return pa.table({"n": pa.array([len(urls)], pa.int64())})
+
+        ds.map_batches(add_fn, batch_format="pyarrow").count()
+
     def size(self) -> int:
         import ray
 
