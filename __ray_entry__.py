@@ -225,18 +225,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         n_lists=16, n_probe=6).select_columns(["vec_id"])
 
     def q_minhash_clusters(sf_dir: str):
-        import pandas as pd
+        # distributed min-label propagation (no driver union-find);
+        # non-representative members only — same row set as the
+        # union-find reference (tests/test_ops.py cross-checks)
         import ray.data
-        from web_scraper_ray.ops.dedup import cluster_pairs, minhash_lsh_pairs
+        from web_scraper_ray.ops.dedup import components_min_label, minhash_lsh_pairs
 
         ds = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
-        clusters = cluster_pairs(pairs)
-        return pd.DataFrame(
-            {"doc_id": list(clusters.keys()), "cluster_rep": list(clusters.values())}
+        comp = components_min_label(minhash_lsh_pairs(ds, jaccard_threshold=0.5))
+        df = comp.to_pandas()
+        df = df.loc[df["node"] != df["label"]].rename(
+            columns={"node": "doc_id", "label": "cluster_rep"}
         )
+        return df.sort_values("doc_id").reset_index(drop=True)
 
     def q_embedding_dups(sf_dir: str):
         import ray.data

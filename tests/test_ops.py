@@ -202,3 +202,89 @@ def test_remove_near_duplicates(docs_ds):
     # 1 (exact dup of 0), 2 and 5 (near dups of 0) drop; reps + uniques stay
     assert 0 in kept and 3 in kept and 4 in kept
     assert 1 not in kept
+
+
+def test_minhash_kernel_vectorized_exact():
+    """The uint64 split-multiply Mersenne-fold kernel is bit-identical
+    to the scalar Python-int reference ((a*x+b) % p, min)."""
+    from web_scraper_ray.ops.dedup import _MERSENNE, _minhash_params, minhash_signature
+
+    a, b = _minhash_params(64)
+    rng = np.random.RandomState(17)
+    for n in (0, 1, 13, 1000):
+        sh = (rng.randint(0, 2**63, size=n).astype(np.uint64) * np.uint64(2)
+              + np.uint64(1))
+        got = minhash_signature(sh, a, b)
+        if n == 0:
+            want = np.full(64, _MERSENNE, dtype=np.uint64)
+        else:
+            x = sh.astype(object)
+            want = np.array(
+                [int(((int(a[i]) * x + int(b[i])) % _MERSENNE).min())
+                 for i in range(64)],
+                dtype=np.uint64,
+            )
+        assert (got == want).all()
+
+
+def test_components_min_label_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a
+    random pair graph (chains force multiple propagation rounds)."""
+    import ray.data
+    from web_scraper_ray.ops.dedup import cluster_pairs, components_min_label
+
+    rng = np.random.RandomState(5)
+    edges = set()
+    # two chains (diameter > 1) + a clique + random noise edges
+    for i in range(20, 30):
+        edges.add((i, i + 1))
+    for i in range(50, 57):
+        edges.add((i, i + 2))
+    for i in range(100, 105):
+        for j in range(i + 1, 105):
+            edges.add((i, j))
+    for _ in range(30):
+        a, b = sorted(rng.randint(0, 200, size=2))
+        if a != b:
+            edges.add((a, b))
+    pairs_df = pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    comp = components_min_label(
+        ray.data.from_pandas(pairs_df), n_buckets=8
+    ).to_pandas()
+    got = dict(zip(comp["node"], comp["label"]))
+    uf = cluster_pairs(pairs_df)
+    nodes = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
+    for n in nodes:
+        assert got[n] == uf.get(n, n), n
+
+
+def test_planted_giant_cluster_near_dedup(ray_session):
+    """A planted 10k-member near-dup cluster: the star skew guard keeps
+    the LSH bucket from emitting O(n^2) pairs and distributed
+    propagation collapses it to one representative — no driver-side
+    pair materialization anywhere (VERDICT r1 items 2-3)."""
+    import ray.data
+    from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+    base = ("large language model training corpora need aggressive near "
+            "duplicate removal to avoid memorization of boilerplate")
+    rows = [{"doc_id": i, "text": base} for i in range(10_000)]
+    # plus a handful of docs distinct from the cluster AND each other
+    distinct = [
+        "zebras gallop across moonlit savannas while owls survey quiet rivers",
+        "quantum annealing hardware minimizes ising energy through tunneling",
+        "sourdough fermentation depends on lactobacillus cultures and patient time",
+        "volcanic basalt columns form hexagonal joints as lava cools slowly",
+        "medieval illuminated manuscripts used lapis lazuli ground into pigment",
+    ]
+    for j, text in enumerate(distinct):
+        rows.append({"doc_id": 10_000 + j, "text": text})
+    # block count tracks data volume (from_items would make ~200
+    # row-sized blocks and per-task overhead would swamp the test)
+    ds = ray.data.from_items(rows).repartition(16)
+    kept = sorted(
+        r["doc_id"]
+        for r in remove_near_duplicates(ds, concurrency=2).select_columns(
+            ["doc_id"]).take_all()
+    )
+    assert kept == [0] + list(range(10_000, 10_005))

@@ -93,16 +93,40 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+_P61 = np.uint64(_MERSENNE)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _mod61(v: np.ndarray) -> np.ndarray:
+    """Exact Mersenne fold of uint64 values into [0, 2^61-1):
+    2^61 ≡ 1 (mod p) so v ≡ (v & p) + (v >> 61); one conditional
+    subtract finishes (the fold output is < p + 8)."""
+    v = (v & _P61) + (v >> np.uint64(61))
+    return np.where(v >= _P61, v - _P61, v)
+
+
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod p minwise signature, vectorized over shingles."""
+    """(a*x + b) mod p minwise signature, exact and FULLY vectorized in
+    uint64 (no object dtype, no per-permutation Python loop): the
+    122-bit product a*x is computed as 32-bit split partials — each
+    partial < 2^64 — and reduced with Mersenne folds
+    (a·x = hi·2^64 + mid·2^32 + lo; 2^64 ≡ 8, m·2^32 ≡ (m>>29) +
+    ((m mod 2^29) << 32) since 2^61 ≡ 1 mod p). Bit-identical to the
+    scalar reference ((a*x+b) % p over Python ints)."""
     if len(shingles) == 0:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    x = shingles.astype(np.object_)  # python ints: exact 61-bit modmul
-    sig = np.empty(len(a), dtype=np.uint64)
-    for i in range(len(a)):
-        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
-        sig[i] = int(vals.min())
-    return sig
+    x = _mod61(shingles.astype(np.uint64))[None, :]
+    a = a.astype(np.uint64)[:, None]
+    b = b.astype(np.uint64)[:, None]
+    a_hi, a_lo = a >> np.uint64(32), a & _MASK32
+    x_hi, x_lo = x >> np.uint64(32), x & _MASK32
+    lo = a_lo * x_lo                    # < 2^64 (fits: (2^32-1)^2)
+    mid = a_hi * x_lo + a_lo * x_hi     # < 2^62 (a_hi, x_hi < 2^29)
+    hi = a_hi * x_hi                    # < 2^58
+    m = _mod61(mid)
+    r_mid = _mod61((m >> np.uint64(29)) + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+    total = _mod61(_mod61(lo) + r_mid + _mod61(hi << np.uint64(3)) + b)
+    return np.minimum.reduce(total, axis=1).astype(np.uint64)
 
 
 class MinHasher:
@@ -132,14 +156,35 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     concurrency: int = 4,
+    star_bucket_threshold: int = 256,
+    n_join_buckets: int = 64,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-dup candidate pairs with exact signature-level
     Jaccard verification. Returns (id_a, id_b, sig_jaccard) with
     id_a < id_b, deduplicated across bands.
 
-    Stages: signature (actor pool) → explode (band, band_hash, id) →
-    groupby band bucket → pairs within bucket → verify estimated
-    Jaccard (signature agreement rate) → global pair dedup.
+    Shuffle discipline (the 100-TB budget): no stage ever ships a
+    signature ×bands. The band explode carries only
+    (id, band, band_key) — three scalar columns; full signatures cross
+    the wire exactly ONCE, in the id-bucketed join that attaches them
+    to the (already deduplicated, ≪ corpus) candidate pair set.
+
+      1. signature (actor pool, vectorized uint64 kernel)
+      2. slim explode → (id, band, band_key)
+      3. groupby (band, band_key) → candidate id pairs (no signatures)
+      4. pair dedup groupby (same pair surfaces from multiple bands)
+      5. id-bucketed signature join: each pair half picks up its doc's
+         signature — signatures move once, total
+      6. pair-bucket groupby → exact signature-agreement verification
+         (est. Jaccard = fraction of agreeing permutations) → filter
+
+    Skew guard: an LSH bucket larger than ``star_bucket_threshold``
+    (boilerplate explosion — at threshold-level similarity one giant
+    bucket would emit O(n²) pairs) emits STAR candidates to its min id
+    instead of all pairs. For removal/clustering the star keeps every
+    member reachable from the representative; pair *listing* recall
+    beyond the star relies on the other bands. Sandbox corpora never
+    hit the cap, so outputs are unchanged vs the all-pairs reference.
     """
     rows_per_band = num_perm // bands
     if text_col != "text":
@@ -152,10 +197,9 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        ids, bnds, keys, sig_col = [], [], [], []
-        for _, row in df.iterrows():
-            sig = row["signature"]
+    def explode_slim(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, bnds_out, keys_out = [], [], []
+        for i, sig in zip(df[id_col].tolist(), df["signature"].tolist()):
             for b in range(bands):
                 chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
                 key = int.from_bytes(
@@ -164,65 +208,264 @@ def minhash_lsh_pairs(
                     ).digest(),
                     "big",
                 )
-                ids.append(row[id_col])
-                bnds.append(b)
-                keys.append(key)
-                sig_col.append(sig)
+                ids_out.append(i)
+                bnds_out.append(b)
+                keys_out.append(key)
         return pd.DataFrame(
-            {id_col: ids, "band": bnds, "band_key": keys, "signature": sig_col}
+            {id_col: pd.Series(ids_out, dtype="int64"),
+             "band": pd.Series(bnds_out, dtype="int64"),
+             "band_key": pd.Series(keys_out, dtype="uint64")}
         )
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # one LSH bucket: all docs sharing this band chunk
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[id_col])
-        rows = list(g.itertuples(index=False))
-        a_ids, b_ids, jac = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                sa = np.asarray(getattr(rows[i], "signature"), dtype=np.uint64)
-                sb = np.asarray(getattr(rows[j], "signature"), dtype=np.uint64)
-                est = float(np.mean(sa == sb))
-                if est >= jaccard_threshold:
-                    a_ids.append(getattr(rows[i], id_col))
-                    b_ids.append(getattr(rows[j], id_col))
-                    jac.append(est)
-        return pd.DataFrame(
-            {"id_a": pd.Series(a_ids, dtype="int64"),
-             "id_b": pd.Series(b_ids, dtype="int64"),
-             "sig_jaccard": pd.Series(jac, dtype="float64")}
-        )
-
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    exploded = sigs.select_columns([id_col, "signature"]).map_batches(
+        explode_slim, batch_format="pandas"
     )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["id_a", "id_b"], kind="mergesort").drop_duplicates(
-            subset=["id_a", "id_b"]
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        n = len(ids)
+        if n < 2:
+            a = b = np.empty(0, dtype=np.int64)
+        elif n <= star_bucket_threshold:
+            ia, ib = np.triu_indices(n, 1)
+            a, b = ids[ia], ids[ib]
+        else:  # skew guard: star to the bucket's min id
+            a, b = np.full(n - 1, ids[0]), ids[1:]
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"),
+             "id_b": pd.Series(b, dtype="int64")}
         )
+
+    cand = exploded.groupby(["band", "band_key"]).map_groups(
+        cand_in_bucket, batch_format="pandas"
+    )
 
     # same pair can surface from multiple bands → global dedup on pair key
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["pbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % 64
+        df["pbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % n_join_buckets
+        return df
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["id_a", "id_b"], kind="mergesort").drop_duplicates(
+            subset=["id_a", "id_b"]
+        ).drop(columns=["pbucket"])
+
+    uniq = (
+        cand.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+    # --- signature join: sigs move ONCE, keyed by id bucket -------------
+    def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": pd.Series(
+                    np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
+                    if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "id_a": pd.Series(np.tile(df["id_a"].to_numpy(), 2)
+                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "id_b": pd.Series(np.tile(df["id_b"].to_numpy(), 2)
+                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "role": pd.Series(["a"] * n + ["b"] * n, dtype="object"),
+                "signature": pd.Series([None] * (2 * n), dtype="object"),
+            }
+        )
+
+    def sig_side(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": pd.Series(df[id_col].to_numpy(), dtype="int64"),
+                "id_a": pd.Series(np.full(n, -1), dtype="int64"),
+                "id_b": pd.Series(np.full(n, -1), dtype="int64"),
+                "role": pd.Series(["s"] * n, dtype="object"),
+                "signature": pd.Series(df["signature"].tolist(), dtype="object"),
+            }
+        )
+
+    def add_jbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jbucket"] = df["key"] % n_join_buckets
+        return df
+
+    joined_src = (
+        uniq.map_batches(pair_halves, batch_format="pandas")
+        .union(sigs.select_columns([id_col, "signature"]).map_batches(
+            sig_side, batch_format="pandas"))
+        .map_batches(add_jbucket, batch_format="pandas")
+    )
+
+    def attach_sig(g: pd.DataFrame) -> pd.DataFrame:
+        srows = g.loc[g["role"] == "s", ["key", "signature"]]
+        halves = g.loc[g["role"] != "s", ["key", "id_a", "id_b", "role"]]
+        m = halves.merge(srows, on="key", how="inner")
+        return m[["id_a", "id_b", "role", "signature"]]
+
+    halves_with_sig = joined_src.groupby("jbucket").map_groups(
+        attach_sig, batch_format="pandas"
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_a", "id_b", "role"], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "sig_jaccard": pd.Series([], dtype="float64")}
+            )
+        mat = np.asarray(g["signature"].tolist(), dtype=np.uint64)
+        est = np.mean(mat[0::2] == mat[1::2], axis=1)
+        keep = est >= jaccard_threshold
+        return pd.DataFrame(
+            {"id_a": pd.Series(g["id_a"].to_numpy()[0::2][keep], dtype="int64"),
+             "id_b": pd.Series(g["id_b"].to_numpy()[0::2][keep], dtype="int64"),
+             "sig_jaccard": pd.Series(est[keep], dtype="float64")}
+        )
+
+    def pair_bucket2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % n_join_buckets
         return df
 
     return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(
-            lambda g: dedup_pairs(g).drop(columns=["pbucket"]), batch_format="pandas"
-        )
+        halves_with_sig.map_batches(pair_bucket2, batch_format="pandas")
+        .groupby("vbucket")
+        .map_groups(lambda g: verify(g.drop(columns=["vbucket"])),
+                    batch_format="pandas")
     )
+
+
+def components_min_label(
+    pairs: ray.data.Dataset,
+    n_buckets: int = 64,
+    max_iters: int = 64,
+) -> ray.data.Dataset:
+    """Distributed connected components over a pair/edge Dataset
+    (id_a, id_b) by iterative min-label propagation — the scale path
+    that replaces driver-side union-find. Returns (node, label) for
+    every node that appears in a pair; label = the component's min id.
+
+    Each iteration is two bucketed shuffles of (node, label) + edge
+    rows — never document text, never the corpus:
+
+      1. groupby(src bucket): every directed edge (u, v) picks up u's
+         current label and emits a candidate (v, label_u); current
+         labels re-emit themselves;
+      2. groupby(node bucket): each node keeps the min of its own and
+         all candidate labels.
+
+    Labels are monotonically non-increasing, so the global label sum
+    is a strictly decreasing integer until the fixpoint — one cheap
+    ``sum()`` per iteration is the convergence test (at extreme id
+    ranges swap it for a changed-count aggregate). Rounds ≈ component
+    diameter; near-dup graphs (LSH buckets ≈ cliques/stars) converge
+    in a handful."""
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        return pd.DataFrame(
+            {"u": pd.Series(np.concatenate([a, b]), dtype="int64"),
+             "v": pd.Series(np.concatenate([b, a]), dtype="int64")}
+        )
+
+    edges_raw = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    # Partition count must track the EDGE volume, not the upstream
+    # pipeline's block count: Ray's groupby makes one reduce partition
+    # per input block, and the union below would otherwise compound
+    # label + edge block counts every iteration (each tiny shuffle task
+    # costs ~100ms of fixed overhead).
+    n_buckets = max(4, min(n_buckets, edges_raw.count() // 20_000 + 4))
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(df["u"].to_numpy())
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "label": pd.Series(nodes, dtype="int64")}
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kind"] = "e"
+        out["bkt"] = out["u"] % n_buckets
+        return out
+
+    edges_tagged = (
+        edges_raw.map_batches(tag_edge, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    # duplicate (node, node) rows across batches are fine: the min
+    # combine below collapses them on the first iteration
+    labels = (
+        edges_raw.map_batches(init_labels, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    prev_sum: int | None = None
+
+    for _ in range(max_iters):
+        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"u": pd.Series(df["node"].to_numpy(), dtype="int64"),
+                 "v": pd.Series(df["label"].to_numpy(), dtype="int64"),
+                 "kind": pd.Series(["l"] * len(df), dtype="object"),
+                 "bkt": pd.Series(df["node"].to_numpy() % n_buckets, dtype="int64")}
+            )
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            lab = (g.loc[g["kind"] == "l", ["u", "v"]]
+                   .groupby("u", sort=False)["v"].min())
+            e = g.loc[g["kind"] == "e", ["u", "v"]]
+            cand_v = e["v"].to_numpy()
+            cand_lab = lab.reindex(e["u"]).to_numpy()
+            # self rows: every labeled node re-emits its current label
+            out_node = np.concatenate([cand_v, lab.index.to_numpy()])
+            out_lab = np.concatenate([cand_lab, lab.to_numpy()])
+            return pd.DataFrame(
+                {"node": pd.Series(out_node, dtype="int64"),
+                 "label": pd.Series(out_lab, dtype="int64")}
+            )
+
+        pushed = (
+            labels.map_batches(tag_label, batch_format="pandas")
+            .union(edges_tagged)
+            .groupby("bkt")
+            .map_groups(push, batch_format="pandas")
+        )
+
+        def add_nbkt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["nbkt"] = df["node"] % n_buckets
+            return df
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("node", sort=True)["label"].min().reset_index()
+            return m.astype({"node": "int64", "label": "int64"})
+
+        labels = (
+            pushed.map_batches(add_nbkt, batch_format="pandas")
+            .groupby("nbkt")
+            .map_groups(lambda g: take_min(g.drop(columns=["nbkt"])),
+                        batch_format="pandas")
+            .repartition(n_buckets)  # keep block count bounded per iter
+            .materialize()
+        )
+        cur_sum = int(labels.sum("label") or 0)
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def cluster_pairs(pairs_df: pd.DataFrame) -> dict[int, int]:
     """Union-find over verified pairs → id → cluster-representative
-    (min id). Driver-side: candidate pair sets are orders of magnitude
-    smaller than the corpus; for larger sets run min-label propagation
-    as iterated groupbys (guide: 'connected components')."""
+    (min id). Driver-side SMALL-SCALE twin of
+    :func:`components_min_label` (kept for tests/spec parity; the
+    engine paths use the distributed version)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -246,18 +489,27 @@ def remove_near_duplicates(
     jaccard_threshold: float = 0.5,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
-    """The composite training-data op: MinHash-LSH pairs → union-find
-    clusters → keep only each cluster's representative (min id) plus
-    all unclustered docs. The broadcast drop-set is tiny (cluster
-    members minus reps ≪ corpus); the corpus itself is only filtered,
-    never shuffled."""
+    """The composite training-data op: MinHash-LSH pairs → DISTRIBUTED
+    min-label components (:func:`components_min_label` — no driver
+    union-find, no ``to_pandas`` of the pair set) → keep only each
+    cluster's representative (min id) plus all unclustered docs. The
+    broadcast drop-set is cluster members minus reps (≪ corpus, and
+    built from the already-reduced components table); the corpus itself
+    is only filtered, never shuffled."""
     import ray
 
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
                               jaccard_threshold=jaccard_threshold,
-                              **minhash_kwargs).to_pandas()
-    clusters = cluster_pairs(pairs)
-    drop = frozenset(k for k, rep in clusters.items() if k != rep)
+                              **minhash_kwargs)
+    comp = components_min_label(pairs)
+
+    def non_reps(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["node"] != df["label"], ["node"]]
+
+    drop = frozenset(
+        r["node"]
+        for r in comp.map_batches(non_reps, batch_format="pandas").take_all()
+    )
     drop_ref = ray.put(drop)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
