@@ -242,11 +242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values("doc_id").reset_index(drop=True)
 
     def q_embedding_dups(sf_dir: str):
+        # the synthetic embeddings contain no true near-dups, so the
+        # query PLANTS deterministic perturbed copies (vec_id + 10^6,
+        # ~0.2% relative noise → cosine ≈ 0.9998) and the multi-probe
+        # LSH must recover them; tests/test_ops.py checks recall vs the
+        # exact O(n²) baseline on the same construction
         import ray.data
         from web_scraper_ray.ops.dedup import embedding_dup_pairs
 
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        return embedding_dup_pairs(ds, threshold=0.9)
+        return embedding_dup_pairs(_plant_embedding_dups(ds), threshold=0.9)
 
     def q_embedding_sim_pairs(sf_dir: str):
         # exact all-pairs variant (SQL-oracle-checked); the synthetic
@@ -267,7 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        return ds.map_batches(LangIdModel, batch_format="pandas", concurrency=2)
+        return ds.map_batches(
+            LangIdModel, batch_format="pandas", concurrency=2
+        ).select_columns(["doc_id", "pred_lang"])
 
     def q_fingerprints(sf_dir: str):
         import ray.data
@@ -359,8 +366,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracles
 
+def _langid_sql() -> str:
+    """DuckDB twin of ops/text.py:LangIdModel — substring counts via
+    replace-length arithmetic (both sides count non-overlapping,
+    left-to-right), first-language-wins tie-breaking in profile order
+    (a later language needs a STRICTLY greater score)."""
+    from web_scraper_ray.ops.text import _LANG_PROFILES
+
+    def score(grams):
+        return " + ".join(
+            f"CAST((length(t) - length(replace(t, '{g}', ''))) / {len(g)} AS BIGINT)"
+            for g in grams
+        )
+
+    p = _LANG_PROFILES
+    return f"""
+        WITH prep AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        scores AS (SELECT doc_id,
+            {score(p['en'])} AS s_en,
+            {score(p['de'])} AS s_de,
+            {score(p['fr'])} AS s_fr,
+            {score(p['es'])} AS s_es
+          FROM prep)
+        SELECT doc_id,
+          CASE
+            WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+            ELSE 'unknown' END AS pred_lang
+        FROM scores
+    """
+
+
+def _plant_embedding_dups(ds, n_plant: int = 10, noise: float = 0.02, seed: int = 23):
+    """Append deterministic near-duplicate copies of the first
+    ``n_plant`` vectors (vec_id + 10^6, ``noise`` relative Gaussian
+    perturbation → cosine ≈ 1 − noise²/2): the planted ground truth for
+    the embedding near-dup LSH (q_embedding_dups and the recall pytest
+    use the same construction)."""
+    import numpy as np
+    import pandas as pd
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.loc[df["vec_id"] < n_plant]
+        if not len(sel):
+            return df
+        planted = sel.copy()
+        new_embs = []
+        for vid, emb in zip(sel["vec_id"], sel["embedding"]):
+            e = np.asarray(emb, dtype=np.float64)
+            rng = np.random.RandomState(seed + int(vid))
+            nz = rng.standard_normal(e.shape)
+            nz /= np.linalg.norm(nz)
+            new_embs.append((e + noise * np.linalg.norm(e) * nz).tolist())
+        planted["vec_id"] = planted["vec_id"] + 1_000_000
+        planted["embedding"] = new_embs
+        out = pd.concat([df, planted], ignore_index=True)
+        # one element type for the whole column (originals arrive as
+        # float32 arrays, planted rows as float64 lists) so every Arrow
+        # block carries list<double>
+        out["embedding"] = [
+            np.asarray(e, dtype=np.float64).tolist() for e in out["embedding"]
+        ]
+        return out
+
+    return ds.map_batches(plant, batch_format="pandas")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid": _langid_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -535,7 +611,7 @@ def oracle_sql() -> dict[str, str]:
               AND n_chars * 10 <= 120 * n_words
               AND n_chars * 10 >= 20 * n_words
               AND n_punct * 10 <= 3 * n_words
-              AND n_stop * 100 >= 0 * n_words
+              AND n_stop * 100 >= 2 * n_words
         """,
         "similarity_topk": """
             SELECT e.vec_id, e.label

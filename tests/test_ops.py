@@ -288,3 +288,63 @@ def test_planted_giant_cluster_near_dedup(ray_session):
             ["doc_id"]).take_all()
     )
     assert kept == [0] + list(range(10_000, 10_005))
+
+
+def test_fingerprint_golden_values():
+    """Hash-locked golden values: the rolling-fingerprint implementation
+    must never silently change (it feeds dedup blocking keys)."""
+    from web_scraper_ray.ops.text import rolling_fingerprint
+
+    golden = {
+        "": 0,
+        "one": 111000776001430,
+        "a b c d": 155564616330857956,
+        "the quick brown fox jumps over the lazy dog": 357617094028028749,
+    }
+    for text, want in golden.items():
+        assert rolling_fingerprint(text) == want, text
+    # k-gram sensitivity: changing one word changes the fingerprint
+    a = rolling_fingerprint("w1 w2 w3 w4 w5 w6 w7 w8")
+    b = rolling_fingerprint("w1 w2 w3 w4 w5 w6 w7 w9")
+    assert a != b
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session, sf_dir):
+    """Multi-probe sign-LSH vs the exact O(n^2) baseline at the SAME
+    threshold on planted near-dups (VERDICT r1 item: embedding_dups
+    recall untested): every LSH pair must be an exact pair (precision
+    1.0) and recall on the planted set must be high."""
+    import ray.data
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __ray_entry__ import _plant_embedding_dups
+    from web_scraper_ray.ops.dedup import embedding_dup_pairs
+
+    ds = _plant_embedding_dups(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ).materialize()
+    lsh = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    exact = embedding_dup_pairs(ds, threshold=0.9, exact=True).to_pandas()
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert len(exact_pairs) >= 10  # the plants are really there
+    assert lsh_pairs <= exact_pairs  # verification keeps precision exact
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (recall, len(exact_pairs))
+
+
+def test_embedding_sim_threshold_not_on_boundary(sf_dir):
+    """Guard for the embedding_sim_pairs oracle (ADVICE r1): no pair's
+    cosine may sit within 1e-9 of the 0.42 threshold, else float
+    order-of-operations could flip inclusion between Ray and DuckDB."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    sims = unit @ unit.T
+    iu = np.triu_indices(len(mat), 1)
+    gap = np.abs(sims[iu] - 0.42)
+    assert gap.min() > 1e-9, gap.min()

@@ -680,11 +680,16 @@ def embedding_dup_pairs(
     n_planes: int = 8,
     seed: int = 11,
     exact: bool = False,
+    multi_probe: bool = True,
 ) -> ray.data.Dataset:
     """Near-duplicate vectors by cosine ≥ threshold. Blocking: seeded
-    random-hyperplane LSH sign-bucket (vectors with cosine ≥ 0.95 agree
-    on most hyperplane signs; we probe the exact bucket — recall path at
-    scale is multi-probe). Verification: exact float64 cosine.
+    random-hyperplane LSH sign-bucket with MULTI-PROBE — each vector is
+    emitted into its exact sign bucket plus every Hamming-1 neighbor
+    bucket, so any pair whose sign patterns differ in at most one plane
+    co-locates (recall at cosine ≈ 1 is ~1 − C(n,2)·(θ/π)²; the
+    recall-vs-exact pytest in tests/test_ops.py measures it on planted
+    near-dups). Verification: exact float64 cosine; pairs surfacing
+    from several probed buckets are globally deduplicated.
 
     ``exact=True`` disables blocking (every vector in one group): full
     O(n²) comparison — the SQL-oracle-checkable baseline, viable only
@@ -692,17 +697,29 @@ def embedding_dup_pairs(
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        out = df[[id_col]].copy()
+        n = len(df)
         if exact:
+            out = df[[id_col]].copy()
             out["bkt"] = 0  # one global group; skip the LSH entirely
-        else:
-            dim = mat.shape[1]
-            rng = np.random.RandomState(seed)
-            planes = rng.standard_normal((dim, n_planes))
-            signs = (mat @ planes) >= 0
-            out["bkt"] = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
-        out["vec"] = [v.tolist() for v in mat]
-        return out
+            out["vec"] = [v.tolist() for v in mat]
+            return out
+        dim = mat.shape[1]
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        signs = (mat @ planes) >= 0
+        base = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
+        probes = [base]
+        if multi_probe:
+            # packbits is big-endian within the byte: plane k is bit
+            # (7 - k); flipping any single plane probes that bucket
+            probes += [base ^ (1 << (7 - k)) for k in range(n_planes)]
+        reps = len(probes)
+        vecs = [v.tolist() for v in mat]
+        return pd.DataFrame(
+            {id_col: pd.Series(np.tile(df[id_col].to_numpy(), reps)),
+             "bkt": pd.Series(np.concatenate(probes), dtype="int64"),
+             "vec": pd.Series(vecs * reps, dtype="object")}
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack([np.asarray(v) for v in g["vec"]])
@@ -726,9 +743,29 @@ def embedding_dup_pairs(
              "cosine": pd.Series(cs, dtype="float64")}
         )
 
-    return (
+    cand = (
         ds.select_columns([id_col, vec_col])
         .map_batches(bucketize, batch_format="pandas")
         .groupby("bkt")
         .map_groups(pairs, batch_format="pandas")
+    )
+    if exact:
+        return cand  # one global bucket → no cross-bucket duplicates
+
+    # multi-probe: the same pair can surface from several probed
+    # buckets → global dedup on the pair key
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % 16
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["id_a", "id_b"], kind="mergesort").drop_duplicates(
+            subset=["id_a", "id_b"]
+        ).drop(columns=["pbucket"])
+
+    return (
+        cand.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pandas")
     )

@@ -83,6 +83,9 @@ def segment_revenue(sf_dir: str) -> ray.data.Dataset:
         lookup = ray.get(lookup_ref)
         df = df.copy()
         df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        # inner-join semantics (match the oracle's JOIN): an order whose
+        # custkey has no customer row is dropped, not aggregated as NaN
+        df = df.dropna(subset=["c_mktsegment"])
         df["price_cents"] = np.floor(df["o_totalprice"] * 100.0 + 0.5).astype("int64")
         return df[["c_mktsegment", "price_cents"]]
 

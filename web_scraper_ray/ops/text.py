@@ -63,7 +63,7 @@ def quality_filter(
     max_mean_word_len: float = 12.0,
     min_mean_word_len: float = 2.0,
     max_punct_per_word: float = 0.3,
-    min_stop_fraction_pct: int = 0,
+    min_stop_fraction_pct: int = 2,
 ) -> "ray.data.Dataset":
     """Gopher-style document quality gate over the counting stats:
     word-count bounds, mean word length window, punctuation density,
