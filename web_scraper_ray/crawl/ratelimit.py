@@ -70,6 +70,38 @@ class HostTokenBuckets:
         return dict(self.state)
 
 
+class VirtualClock:
+    """Deterministic shared clock (run via ``ray.remote``): the bucket
+    shards read it through :func:`clock_fns`' ``now``, a throttled
+    fetcher's ``sleep`` advances it — so politeness tests replay
+    real-time behavior exactly, with zero wall-clock waiting."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def now(self) -> float:
+        return self.t
+
+    def advance(self, dt: float) -> float:
+        self.t += dt
+        return self.t
+
+
+def clock_fns(handle) -> tuple[Callable[[], float], Callable[[float], None]]:
+    """(now, sleep) callables bound to a ``VirtualClock`` actor handle
+    — passable as ``RateLimiter(clock=now)`` / ``ThrottledFetcher``'s
+    ``sleep`` from any process (the handle serializes)."""
+    import ray
+
+    def now() -> float:
+        return ray.get(handle.now.remote())
+
+    def sleep(dt: float) -> None:
+        ray.get(handle.advance.remote(dt))
+
+    return now, sleep
+
+
 class RateLimiter:
     """Driver/stage-side handle over the bucket shards. Batched and
     order-preserving, same call shape as SeenSet."""

@@ -25,7 +25,7 @@ from ..formatters import FormatStage, get_extension
 from ..functions.urls import is_valid_url
 from ..sinks import combined_single_file, derive_filename, run_stats, write_formatted_files
 from ..stages.extract_stage import extract_batch
-from ..stages.fetch import CorpusFetcher, fetch_stage
+from ..stages.fetch import CorpusFetcher, corpus_scan_fetch, fetch_stage
 
 
 class JobResult:
@@ -43,13 +43,18 @@ def run_job(
     pages_path: Optional[str] = None,
     fetcher_cls=CorpusFetcher,
     concurrency: int = 4,
+    rate_limiter=None,
 ) -> JobResult:
     """Process a seed URL list exactly as the reference CLI does
     (cli.py:241-395): per-URL fetch+extract+format, then the
     destination/single_file output stage and the summary stats.
 
-    ``pages_path`` backs the offline CorpusFetcher (live deploys pass
-    ``HttpFetcher`` and no corpus)."""
+    ``pages_path`` backs the offline fetch (live deploys pass
+    ``HttpFetcher`` and no corpus). The default offline path fetches
+    via ``corpus_scan_fetch`` — one streaming corpus scan against the
+    broadcast seed set — so no actor holds the whole corpus.
+    ``rate_limiter`` (a ``crawl.ratelimit.RateLimiter``) binds per-host
+    politeness to a live fetcher pool via ``ThrottledFetcher``."""
     config = merge_defaults(config or {})
     out_cfg = config["output"]
     fmt = out_cfg.get("format", "markdown")
@@ -69,12 +74,17 @@ def run_job(
              "total_tokens": 0, "total_images": 0},
             [], None, [],
         )
-    ds = ray.data.from_items(seed_rows)
-
-    fetched = fetch_stage(
-        ds.select_columns(["url"]), fetcher_cls, concurrency=concurrency,
-        **({"pages_path": pages_path} if fetcher_cls is CorpusFetcher else {}),
-    )
+    if fetcher_cls is CorpusFetcher and pages_path and rate_limiter is None:
+        # offline default: scan-join (corpus scanned once, seed set
+        # broadcast) instead of a per-actor full-corpus dict
+        fetched = corpus_scan_fetch([r["url"] for r in seed_rows], pages_path)
+    else:
+        ds = ray.data.from_items(seed_rows)
+        fetched = fetch_stage(
+            ds.select_columns(["url"]), fetcher_cls, concurrency=concurrency,
+            limiter=rate_limiter,
+            **({"pages_path": pages_path} if fetcher_cls is CorpusFetcher else {}),
+        )
     ok = fetched.map_batches(
         lambda t: t.filter(pa.compute.equal(t["status"], "fetched")),
         batch_format="pyarrow",

@@ -21,6 +21,7 @@ offline stand-in used by the frontier engine and tests.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import pyarrow as pa
@@ -156,12 +157,129 @@ class BrowserFetcher:
         return self.fallback(batch)
 
 
+class ThrottledFetcher:
+    """Politeness-bound fetch: binds the sharded token-bucket
+    ``RateLimiter`` (``crawl/ratelimit.py``) to any fetcher class — the
+    live-mode complement of the frontier engine's virtual-time
+    politeness (the reference has no rate limiting at all; its
+    sequential loop is accidentally polite, ``contxt/cli.py:276-307``).
+
+    Per batch it runs admission WAVES: acquire one token per row's
+    host; granted rows fetch NOW through the inner fetcher, throttled
+    rows wait for the earliest token accrual and re-enter the next
+    wave (the ready/deferred split of ``throttled_fetch_plan``, bounded
+    to one batch). Output rows return in input order. The limiter's
+    bucket shards are Ray actors shared by the WHOLE fetch pool, so
+    per-host spacing holds across actors, not per actor.
+
+    ``sleep`` / the limiter's clock are injectable (deterministic
+    tests); with ``stamp_grants=True`` a ``granted_at`` float column
+    (seconds of intra-batch wait before the row's fetch) is appended
+    for inspection."""
+
+    def __init__(self, inner_cls=None, limiter=None, sleep=None,
+                 stamp_grants: bool = False, **inner_kwargs):
+        assert inner_cls is not None and limiter is not None
+        self.inner = inner_cls(**inner_kwargs)
+        self.limiter = limiter  # actor handles — serialize fine
+        self.sleep = sleep if sleep is not None else time.sleep
+        self.stamp_grants = stamp_grants
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.urls import extract_host
+
+        n = batch.num_rows
+        if n == 0:
+            out = self.inner(batch)
+            if self.stamp_grants:
+                out = out.append_column("granted_at", pa.array([], pa.float64()))
+            return out
+        hosts = [extract_host(u) for u in batch["url"].to_pylist()]
+        pending = list(range(n))
+        waited = 0.0
+        pieces: list[tuple[list[int], pa.Table, float]] = []
+        while pending:
+            waits = self.limiter.acquire([hosts[i] for i in pending])
+            ready = [i for i, w in zip(pending, waits) if w == 0.0]
+            if ready:
+                pieces.append((ready, self.inner(batch.take(ready)), waited))
+            pending = [i for i, w in zip(pending, waits) if w > 0.0]
+            if pending:
+                dt = min(w for w in waits if w > 0.0)
+                self.sleep(dt)
+                waited += dt
+        merged = pa.concat_tables(t for _, t, _ in pieces)
+        order = [i for idxs, _, _ in pieces for i in idxs]
+        inv = sorted(range(len(order)), key=order.__getitem__)
+        out = merged.take(inv)
+        if self.stamp_grants:
+            grants = [0.0] * n
+            for idxs, _, at in pieces:
+                for i in idxs:
+                    grants[i] = at
+            out = out.append_column("granted_at", pa.array(grants, pa.float64()))
+        return out
+
+
+def corpus_scan_fetch(urls: list[str], pages_path: str) -> "ray.data.Dataset":
+    """Offline fetch of an explicit (small) URL list as ONE streaming
+    corpus scan — the job-pipeline twin of the frontier engine's
+    broadcast fetch-join (``crawl/frontier.py:keep_admitted``). The URL
+    set broadcasts via ``ray.put`` (small side); the corpus is scanned
+    once, column-pruned, with a vectorized ``index_in`` filter per
+    batch — no actor ever holds a url→html dict of the whole corpus
+    (the ``CorpusFetcher``-per-actor materialization this replaces).
+    URLs absent from the corpus simply never appear (the caller's
+    fetched-status filter drops misses either way)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    from ..pipelines.flagship import _default_blocks
+
+    wanted_ref = ray.put(pa.array(sorted(set(urls)), pa.string()))
+    pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
+                                  override_num_blocks=_default_blocks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(wanted_ref)
+        sel = batch.filter(pc.is_valid(pc.index_in(batch["url"], value_set=wanted)))
+        k = sel.num_rows
+        return pa.table(
+            {
+                "url": sel["url"],
+                "status": pa.array(["fetched"] * k, pa.string()),
+                "html": pc.cast(sel["html"], pa.large_binary()),
+                "error": pa.array([""] * k, pa.string()),
+            },
+            schema=FETCH_SCHEMA,
+        )
+
+    return pages.map_batches(keep, batch_format="pyarrow")
+
+
 def fetch_stage(ds, fetcher_cls=CorpusFetcher, concurrency: int = 4,
-                batch_size: int = 64, **fetcher_kwargs):
+                batch_size: int = 64, limiter=None, sleep=None,
+                stamp_grants: bool = False, **fetcher_kwargs):
     """Attach a fetch actor pool to a Dataset of url rows. Mirrors the
     mode-dispatch strategy surface (``scraper.py:73-84``) with the
     advanced→basic fallback expressed as per-row error statuses rather
-    than exception control flow."""
+    than exception control flow. With ``limiter`` (a
+    ``crawl.ratelimit.RateLimiter``) every fetcher is wrapped in
+    :class:`ThrottledFetcher` so live fetches honor per-host politeness
+    across the whole pool."""
+    if limiter is not None:
+        return ds.map_batches(
+            ThrottledFetcher,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(
+                inner_cls=fetcher_cls, limiter=limiter, sleep=sleep,
+                stamp_grants=stamp_grants, **fetcher_kwargs,
+            ),
+        )
     return ds.map_batches(
         fetcher_cls,
         batch_format="pyarrow",
