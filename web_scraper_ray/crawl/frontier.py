@@ -247,6 +247,23 @@ def _link_candidates(
 # --------------------------------------------------------------------------
 # the fused per-bucket admission stage
 
+#: the in-round dedup winner ordering (bucket_admit step 1): for one
+#: url, "first discovery in sequential crawl order" = min of this key
+_DEDUP_SORT = ["url", "pvt", "w_pri", "w_pvt", "w_pli", "w_canon", "pli"]
+
+
+def _precombine(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch candidate combiner BEFORE the admission shuffle: keep
+    only each url's min-winner-key row within the batch. Correct because
+    min is associative — the batch winner is the only row of its batch
+    that can be the global winner, and bucket_admit re-applies the same
+    ordering across batches. Cuts shuffle rows by the in-batch dup
+    factor (links repeat heavily within a page neighborhood)."""
+    return df.sort_values(_DEDUP_SORT, kind="mergesort").drop_duplicates(
+        subset=["url"], keep="first"
+    )
+
+
 def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
            assign_vt: bool = True) -> ray.data.Dataset:
     """ONE shuffle: host-bucket groupby fusing in-round dedup, seen-shard
@@ -255,14 +272,14 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
     politeness mode assigns it afterwards, ranked_politeness.py)."""
     shard_handles = seen.shard_handles()
     n_shards = seen.n_shards
+    cands = cands.map_batches(_precombine, batch_format="pandas")
 
     def bucket_admit(g: pd.DataFrame) -> pd.DataFrame:
         # 1. in-round dedup: min winner key per url == first discovery
         #    in sequential crawl order (model.py step 4)
-        g = g.sort_values(
-            ["url", "pvt", "w_pri", "w_pvt", "w_pli", "w_canon", "pli"],
-            kind="mergesort",
-        ).drop_duplicates(subset=["url"], keep="first")
+        g = g.sort_values(_DEDUP_SORT, kind="mergesort").drop_duplicates(
+            subset=["url"], keep="first"
+        )
 
         # 2. seen anti-join: batched check_and_add on the shard actors
         urls = g["url"].tolist()
@@ -531,24 +548,30 @@ def _dir_num_rows(path: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in _parquet_files(path))
 
 
+@ray.remote(num_cpus=0.5)
+def _file_host_counts(path: str) -> dict[str, int]:
+    """value_counts of one parquet file's ``host`` column — a combiner
+    partial of size #hosts, never #urls."""
+    vc = pc.value_counts(pq.read_table(path, columns=["host"])["host"].combine_chunks())
+    return dict(zip(vc.field("values").to_pylist(),
+                    (int(c) for c in vc.field("counts").to_pylist())))
+
+
 def _host_count_delta(path: str) -> dict[str, int]:
-    """Per-host admitted counts for one frontier/admitted directory,
-    computed as per-batch ``value_counts`` partials (combiner pattern)
-    merged on the driver — the driver sees #hosts rows, never #urls."""
-    if not _parquet_files(path):
+    """Per-host admitted counts for one frontier/admitted directory:
+    one lightweight Ray task per file (parallel column read →
+    ``value_counts`` partial), merged on the driver — the driver sees
+    #hosts rows, never #urls. Plain tasks, not a Dataset execution:
+    this runs once per round between pipelines, and the streaming
+    executor's fixed startup would otherwise be a per-round barrier
+    tax (BASELINE.md, BFS-barrier floor)."""
+    files = _parquet_files(path)
+    if not files:
         return {}
-    ds = ray.data.read_parquet(path, columns=["host"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch["host"].combine_chunks())
-        return pa.table({
-            "host": vc.field("values"),
-            "n": pc.cast(vc.field("counts"), pa.int64()),
-        })
-
     delta: dict[str, int] = {}
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        delta[row["host"]] = delta.get(row["host"], 0) + row["n"]
+    for part in ray.get([_file_host_counts.remote(f) for f in files]):
+        for h, n in part.items():
+            delta[h] = delta.get(h, 0) + n
     return delta
 
 
