@@ -593,6 +593,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.42
         """,
+        # DuckDB twin of ops/dedup.py:simhash64 — md5-upper-half token
+        # hashes, per-bit +1/-1 accumulation, then a BRUTE-FORCE pair
+        # scan: the Ray op's 4x16-bit pigeonhole banding has complete
+        # recall at hamming <= 3, so banded output == all-pairs output.
+        "simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '[ \t\n\r\f\v]+'),
+                           w -> w <> '')) AS w
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (h >> (63 - i)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM th, range(64) r(i)
+                GROUP BY doc_id, i
+            ),
+            sh AS (
+                SELECT d.doc_id, COALESCE(s.sim, 0)::UBIGINT AS simhash
+                FROM documents d
+                LEFT JOIN (
+                    SELECT doc_id,
+                           SUM(CASE WHEN acc > 0
+                                    THEN (1::HUGEINT << (63 - i)) ELSE 0 END) AS sim
+                    FROM bits GROUP BY doc_id
+                ) s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # DuckDB twin of ops/text.py:rolling_fingerprint (k=5): word
+        # hashes = byte-wise polynomial fold (base 1000003 mod 2^61-1;
+        # ord(c) == the utf-8 byte on the ASCII documents corpus),
+        # fingerprint = min over all 5-word-window folds.
+        "fingerprints": r"""
+            WITH wh AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split_regex(text, '[ \t\n\r\f\v]+'),
+                               w -> w <> ''),
+                           w -> list_reduce(
+                               list_transform(string_split(w, ''),
+                                              c -> ord(c)::HUGEINT),
+                               (a, x) -> (a * 1000003 + x)
+                                         % ((1::HUGEINT << 61) - 1))
+                       ) AS hs
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE
+                        WHEN len(hs) = 0 THEN 0
+                        WHEN len(hs) < 5 THEN list_reduce(hs,
+                             (a, x) -> (a * 1000003 + x)
+                                       % ((1::HUGEINT << 61) - 1))
+                        ELSE list_min(list_transform(range(1, len(hs) - 3),
+                             i -> list_reduce(hs[i:i+4],
+                                  (a, x) -> (a * 1000003 + x)
+                                            % ((1::HUGEINT << 61) - 1))))
+                        END AS UBIGINT) AS fingerprint
+            FROM wh
+        """,
         "quality_filter": f"""
             WITH stats AS (
                 SELECT doc_id,

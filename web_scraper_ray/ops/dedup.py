@@ -523,17 +523,25 @@ def remove_near_duplicates(
 # SimHash
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << (63 - i)
-    return out
+    """64-bit SimHash over whitespace tokens. Token hash = first 8
+    bytes of md5, big-endian — chosen (over blake2b) because DuckDB can
+    reproduce it exactly (``('0x' || substr(md5(w),1,16))::UBIGINT``),
+    which is what makes the ``simhash_pairs`` query SQL-oracle-checkable
+    bit for bit. Bit accumulation is vectorized: one (n_tokens × 64)
+    unpackbits + column sum, no per-bit Python loop."""
+    words = text.split()
+    if not words:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in words),
+        dtype=np.uint64, count=len(words),
+    )
+    # byteswap → big-endian bytes; unpackbits rows are then MSB-first,
+    # so column i is bit (63 - i) — the same order the packbits below
+    # reassembles
+    bits = np.unpackbits(hs.byteswap().view(np.uint8).reshape(-1, 8), axis=1)
+    acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
 
 
 def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
