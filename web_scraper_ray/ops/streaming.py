@@ -8,11 +8,13 @@ the *incremental* form: state that must SURVIVE across arriving
 micro-batches lives in sharded actors keyed by hash(key) % n — one
 actor owns a key's state, batches arrive in ts order per key.
 
-``ingest_events_incremental`` replays the events table as N sequential
-micro-batches (a log consumer's shape) into :class:`KeyedStateShard`
-actors maintaining per-user running aggregates; the final state equals
-the batch GROUP BY (the DuckDB oracle for query ``user_running_totals``),
-while intermediate states are genuine mid-stream reads the batch world
+``ingest_events_incremental`` replays the events table as a
+partitioned log: one distributed consumer task per key shard, each
+feeding its :class:`KeyedStateShard` actor in sequential ts-ordered
+micro-batches (partition ↔ consumer ↔ state shard, 1:1:1 — no event
+row ever passes through the driver). The final state equals the batch
+GROUP BY (the DuckDB oracle for query ``user_running_totals``), while
+intermediate states are genuine mid-stream reads the batch world
 cannot produce.
 """
 
@@ -63,8 +65,19 @@ class KeyedStateShard:
 def ingest_events_incremental(
     sf_dir: str, n_shards: int = 4, micro_batches: int = 8
 ) -> pd.DataFrame:
-    """Replay events (ts-ordered) as micro-batches into state shards;
-    return the final per-user running totals."""
+    """Replay events as micro-batches into state shards; return the
+    final per-user running totals.
+
+    The feeder is DISTRIBUTED (not a driver loop): the log is hash-
+    partitioned by key shard in one groupby, and each partition is
+    consumed by its own Ray task — a per-partition log consumer that
+    sorts its shard's rows into ts order and feeds them to the shard's
+    state actor in sequential micro-batches (blocking per chunk, so a
+    key's chunk k commits before k+1 — the log-partition ordering
+    contract). The driver only launches the pipeline and reads the
+    final aggregated state (#users rows); no event row ever passes
+    through it. This is exactly a partitioned-log consumer group's
+    shape: partition ↔ consumer ↔ state shard, 1:1:1."""
     shard_cls = ray.remote(KeyedStateShard)
     shards = [shard_cls.options(num_cpus=0).remote(i, n_shards)
               for i in range(n_shards)]
@@ -72,29 +85,40 @@ def ingest_events_incremental(
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "value", "event_type", "event_id"],
-    ).sort(["ts", "event_id"])  # the log's arrival order
-
+    )
     n_rows = ev.count()
-    batch_size = max(1, -(-n_rows // micro_batches))  # ceil: N micro-batches
+    chunk = max(1, -(-n_rows // (micro_batches * n_shards)))  # ceil
 
-    pending: list = []
-    for batch in ev.iter_batches(batch_size=batch_size, batch_format="pandas"):
-        # micro-batch feed: rows route to their key's shard; within one
-        # feed call the per-key ts order is preserved (batch is sorted)
-        batch = batch.copy()
-        batch["value_e4"] = np.floor(batch["value"] * 10000.0 + 0.5).astype("int64")
-        batch["shard"] = batch["user_id"].astype("int64") % n_shards
-        for sid, g in batch.groupby("shard", sort=True):
-            pending.append(shards[sid].ingest.remote({
-                "user_id": g["user_id"].tolist(),
-                "ts": g["ts"].tolist(),
-                "value_e4": g["value_e4"].tolist(),
-                "event_type": g["event_type"].tolist(),
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = df["user_id"].astype("int64") % n_shards
+        return df
+
+    def feed_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one complete key-shard partition, consumed in ts order
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        sid = int(g["shard"].iloc[0])
+        g = g.assign(
+            value_e4=np.floor(g["value"] * 10000.0 + 0.5).astype("int64")
+        )
+        for start in range(0, len(g), chunk):
+            b = g.iloc[start : start + chunk]
+            # blocking per micro-batch: chunk k is applied before k+1
+            ray.get(shards[sid].ingest.remote({
+                "user_id": b["user_id"].tolist(),
+                "ts": b["ts"].tolist(),
+                "value_e4": b["value_e4"].tolist(),
+                "event_type": b["event_type"].tolist(),
             }))
-        # barrier per micro-batch: a shard must finish batch k before
-        # k+1 (per-key order); ray actor calls already serialize per
-        # actor, so one global wait at the end suffices for correctness
-    ray.get(pending)
+        return pd.DataFrame({"shard": pd.Series([sid], dtype="int64"),
+                             "n_fed": pd.Series([len(g)], dtype="int64")})
+
+    fed = (
+        ev.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(feed_partition, batch_format="pandas")
+    )
+    assert sum(r["n_fed"] for r in fed.take_all()) == n_rows
 
     rows: list[dict] = []
     for part in ray.get([s.dump.remote() for s in shards]):
