@@ -24,6 +24,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from web_scraper_ray.ops import sized_read_parquet
+
 _STOPWORDS_SQL = (
     "['the','a','an','and','or','of','to','in','is','are','was','were','be',"
     "'been','it','this','that','for','on','with','as','at','by']"
@@ -111,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import exact_dedup
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
         )
         return exact_dedup(ds, "text", "doc_id").select_columns(
@@ -122,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.text import text_stats_batch
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return ds.map_batches(text_stats_batch, batch_format="pandas")
@@ -142,7 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet")
         return ds.map_batches(
             lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
         )
@@ -151,7 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.text import quality_filter
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return quality_filter(ds)
@@ -160,7 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import remove_near_duplicates
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return remove_near_duplicates(ds).select_columns(["doc_id"])
@@ -187,7 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import minhash_lsh_pairs
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
@@ -196,7 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import simhash_near_pairs
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return simhash_near_pairs(ds, max_hamming=3)
@@ -206,7 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import ngram_jaccard_pairs
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
         )
 
@@ -231,7 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import components_min_label, minhash_lsh_pairs
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         comp = components_min_label(minhash_lsh_pairs(ds, jaccard_threshold=0.5))
@@ -250,7 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import embedding_dup_pairs
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_dup_pairs(_plant_embedding_dups(ds), threshold=0.9)
 
     def q_embedding_sim_pairs(sf_dir: str):
@@ -260,7 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.dedup import embedding_dup_pairs
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_dup_pairs(ds, threshold=0.42, exact=True).select_columns(
             ["id_a", "id_b"]
         )
@@ -269,7 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.text import LangIdModel
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return ds.map_batches(
@@ -280,7 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from web_scraper_ray.ops.text import fingerprint_batch
 
-        ds = ray.data.read_parquet(
+        ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(

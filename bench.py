@@ -123,10 +123,11 @@ def run_bench() -> dict:
 
         t0 = time.time()
         import ray.data
+        from web_scraper_ray.ops import sized_read_parquet
         from web_scraper_ray.ops.text import text_stats_batch
 
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id", "text"])
+        docs = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
         docs.map_batches(text_stats_batch, batch_format="pandas").count()
         queries["text_stats"] = round(time.time() - t0, 3)
 
@@ -139,9 +140,17 @@ def run_bench() -> dict:
             pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"].to_pylist()[0],
             dtype=np.float64,
         )
-        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet")
         brute_force_topk(emb, q, k=10).to_pandas()
         queries["similarity_topk"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+        docs2 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"])
+        remove_near_duplicates(docs2, jaccard_threshold=0.5).count()
+        queries["near_dedup"] = round(time.time() - t0, 3)
 
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {

@@ -221,23 +221,50 @@ def minhash_lsh_pairs(
         explode_slim, batch_format="pandas"
     )
 
-    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        n = len(ids)
-        if n < 2:
-            a = b = np.empty(0, dtype=np.int64)
-        elif n <= star_bucket_threshold:
-            ia, ib = np.triu_indices(n, 1)
-            a, b = ids[ia], ids[ib]
-        else:  # skew guard: star to the bucket's min id
-            a, b = np.full(n - 1, ids[0]), ids[1:]
+    def add_cbkt(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key: a (band, band_key) LSH bucket is a
+        # function of band_key, so every member lands in one partition
+        df = df.copy()
+        df["cbkt"] = (df["band_key"] % np.uint64(n_join_buckets)).astype("int64")
+        return df
+
+    def cands_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition holds MANY complete LSH buckets, nearly all
+        # singletons — pair generation must therefore be run-detection
+        # over a sorted frame (vectorized), never one UDF call per
+        # bucket (a per-group map_groups here costs ~0.5 ms × #docs ×
+        # bands in pure invocation overhead)
+        g = g.sort_values(["band", "band_key", id_col], kind="mergesort")
+        g = g.drop_duplicates(subset=["band", "band_key", id_col])
+        ids = g[id_col].to_numpy()
+        bk = g["band_key"].to_numpy()
+        bd = g["band"].to_numpy()
+        new_run = np.flatnonzero(
+            np.concatenate(([True], (bk[1:] != bk[:-1]) | (bd[1:] != bd[:-1])))
+        )
+        run_len = np.diff(np.concatenate((new_run, [len(g)])))
+        a_parts, b_parts = [], []
+        for s, ln in zip(new_run[run_len >= 2], run_len[run_len >= 2]):
+            members = ids[s : s + ln]  # sorted, unique within the run
+            if ln <= star_bucket_threshold:
+                ia, ib = np.triu_indices(ln, 1)
+                a_parts.append(members[ia])
+                b_parts.append(members[ib])
+            else:  # skew guard: star to the bucket's min id
+                a_parts.append(np.full(ln - 1, members[0]))
+                b_parts.append(members[1:])
+        a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.int64)
         return pd.DataFrame(
             {"id_a": pd.Series(a, dtype="int64"),
              "id_b": pd.Series(b, dtype="int64")}
         )
 
-    cand = exploded.groupby(["band", "band_key"]).map_groups(
-        cand_in_bucket, batch_format="pandas"
+    cand = (
+        exploded.map_batches(add_cbkt, batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(lambda g: cands_in_partition(g.drop(columns=["cbkt"])),
+                    batch_format="pandas")
     )
 
     # same pair can surface from multiple bands → global dedup on pair key
@@ -575,26 +602,56 @@ def simhash_near_pairs(
                 hs.append(h)
         return pd.DataFrame({id_col: ids, "chunk": chunks, "key": keys, "simhash": hs})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[id_col])
-        rows = list(zip(g[id_col], g["simhash"]))
+    def add_cbkt(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key — a (chunk, key) bucket is a function of
+        # (chunk, key), so complete buckets co-locate
+        df = df.copy()
+        df["cbkt"] = ((df["key"].astype("int64") * 4 + df["chunk"]) % 64).astype("int64")
+        return df
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # run-detection over the sorted partition (most (chunk, key)
+        # buckets are singletons — per-bucket map_groups calls would
+        # dominate; see minhash cands_in_partition)
+        g = g.sort_values(["chunk", "key", id_col], kind="mergesort")
+        g = g.drop_duplicates(subset=["chunk", "key", id_col])
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        ck = g["chunk"].to_numpy()
+        ky = g["key"].to_numpy()
+        new_run = np.flatnonzero(
+            np.concatenate(([True], (ky[1:] != ky[:-1]) | (ck[1:] != ck[:-1])))
+        )
+        run_len = np.diff(np.concatenate((new_run, [len(g)])))
         a_ids, b_ids, dists = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if d <= max_hamming:
-                    a_ids.append(rows[i][0])
-                    b_ids.append(rows[j][0])
-                    dists.append(d)
+        for s, ln in zip(new_run[run_len >= 2], run_len[run_len >= 2]):
+            m_ids, m_hs = ids[s : s + ln], hs[s : s + ln]
+            ia, ib = np.triu_indices(ln, 1)
+            x = m_hs[ia] ^ m_hs[ib]
+            d = np.zeros(len(x), dtype=np.int64)  # vectorized popcount
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = d <= max_hamming
+            a_ids.append(m_ids[ia][keep])
+            b_ids.append(m_ids[ib][keep])
+            dists.append(d[keep])
+        a = np.concatenate(a_ids) if a_ids else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b_ids) if b_ids else np.empty(0, dtype=np.int64)
+        d = np.concatenate(dists) if dists else np.empty(0, dtype=np.int64)
         return pd.DataFrame(
-            {"id_a": pd.Series(a_ids, dtype="int64"),
-             "id_b": pd.Series(b_ids, dtype="int64"),
-             "hamming": pd.Series(dists, dtype="int64")}
+            {"id_a": pd.Series(a, dtype="int64"),
+             "id_b": pd.Series(b, dtype="int64"),
+             "hamming": pd.Series(d, dtype="int64")}
         )
 
-    cand = hashed.map_batches(explode, batch_format="pandas").groupby(
-        ["chunk", "key"]
-    ).map_groups(pairs, batch_format="pandas")
+    cand = (
+        hashed.map_batches(explode, batch_format="pandas")
+        .map_batches(add_cbkt, batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(lambda g: pairs_in_partition(g.drop(columns=["cbkt"])),
+                    batch_format="pandas")
+    )
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["id_a", "id_b"], kind="mergesort").drop_duplicates(
