@@ -248,14 +248,19 @@ def test_components_min_label_matches_union_find(ray_session):
         if a != b:
             edges.add((a, b))
     pairs_df = pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
-    comp = components_min_label(
-        ray.data.from_pandas(pairs_df), n_buckets=8
-    ).to_pandas()
-    got = dict(zip(comp["node"], comp["label"]))
     uf = cluster_pairs(pairs_df)
     nodes = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
-    for n in nodes:
-        assert got[n] == uf.get(n, n), n
+    # both paths: the iterative propagation (cutoff=0 forces it) and
+    # the small-graph one-task fast path must agree with union-find
+    for cutoff in (0, 1 << 30):
+        comp = components_min_label(
+            ray.data.from_pandas(pairs_df), n_buckets=8,
+            small_edge_cutoff=cutoff,
+        ).to_pandas()
+        got = dict(zip(comp["node"], comp["label"]))
+        assert set(comp["node"]) == nodes
+        for n in nodes:
+            assert got[n] == uf.get(n, n), (cutoff, n)
 
 
 def test_planted_giant_cluster_near_dedup(ray_session):

@@ -365,10 +365,38 @@ def minhash_lsh_pairs(
     )
 
 
+@ray.remote
+def _components_task(*tables) -> "pa.Table":
+    """Union-find over a SMALL pair set in one Ray task (never on the
+    driver): the fast path of :func:`components_min_label` below its
+    size cutoff, where the iterative loop's per-round shuffle floor
+    (~1-2 s × diameter at sandbox scale) dominates the actual work."""
+    import pyarrow as pa
+
+    # empty upstream blocks may carry a degenerate no-column schema —
+    # keep only real pair blocks, and only the edge columns
+    parts = [t.select(["id_a", "id_b"]) for t in tables
+             if t.num_rows and "id_a" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas() if parts
+          else pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")}))
+    mapping = cluster_pairs(df)
+    # same contract as the iterative path: one row for EVERY node that
+    # appears in a pair, roots labeled with themselves
+    nodes = np.unique(np.concatenate([
+        df["id_a"].to_numpy(dtype=np.int64), df["id_b"].to_numpy(dtype=np.int64)
+    ])) if len(df) else np.empty(0, dtype=np.int64)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array([mapping.get(int(n), int(n)) for n in nodes], pa.int64()),
+    })
+
+
 def components_min_label(
     pairs: ray.data.Dataset,
     n_buckets: int = 64,
     max_iters: int = 64,
+    small_edge_cutoff: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed connected components over a pair/edge Dataset
     (id_a, id_b) by iterative min-label propagation — the scale path
@@ -399,13 +427,27 @@ def components_min_label(
              "v": pd.Series(np.concatenate([b, a]), dtype="int64")}
         )
 
+    # pin the pair set ONCE: both the size probe and either components
+    # path consume it, and an unpinned Dataset would re-execute the
+    # whole upstream LSH pipeline per consumer
+    pairs = pairs.materialize()
+    n_edges = 2 * pairs.count()
+    if n_edges <= small_edge_cutoff:
+        # small pair set (the common case — pairs ≪ corpus): one-task
+        # union-find beats diameter × per-iteration shuffle floor. The
+        # pair blocks stream into the task via object refs; the DRIVER
+        # never touches them. The iterative path below is the
+        # arbitrarily-large-graph fallback (tested directly with
+        # small_edge_cutoff=0).
+        ref = _components_task.remote(*pairs.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
     edges_raw = pairs.map_batches(to_edges, batch_format="pandas").materialize()
     # Partition count must track the EDGE volume, not the upstream
     # pipeline's block count: Ray's groupby makes one reduce partition
     # per input block, and the union below would otherwise compound
     # label + edge block counts every iteration (each tiny shuffle task
     # costs ~100ms of fixed overhead).
-    n_buckets = max(4, min(n_buckets, edges_raw.count() // 20_000 + 4))
+    n_buckets = max(4, min(n_buckets, n_edges // 20_000 + 4))
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         nodes = np.unique(df["u"].to_numpy())
