@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return verify_pipeline(f"{corpus}/pages")
 
     def q_media_features(sf_dir: str):
+        import pandas as pd
         import ray.data
         from web_scraper_ray.ops.multimodal import (
             media_feature_pipeline,
@@ -330,7 +331,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         ds = ray.data.from_arrow(synthesize_media_table(n=96))
-        return media_feature_pipeline(ds)
+        out = media_feature_pipeline(ds)
+
+        def flatten(df: pd.DataFrame) -> pd.DataFrame:
+            # list<double> → 16 scalar columns: the driver's value-hash
+            # compares scalar columns, and the SQL twin emits v[k]
+            wide = pd.DataFrame(
+                df["feature"].tolist(), index=df.index,
+                columns=[f"f{k:02d}" for k in range(16)],
+            )
+            return pd.concat([df[["media_id", "kind"]], wide], axis=1)
+
+        return out.map_batches(flatten, batch_format="pandas")
 
     return {
         "pricing_summary": q_pricing_summary,
@@ -594,6 +606,36 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.42
+        """,
+        # Fully self-contained twin of the media_features plumbing: the
+        # synthetic media table (ops/multimodal.py:synthesize_media_table,
+        # n=96, seed=42) is REGENERATED inside SQL (payload hex =
+        # repeated md5), and the stub feature kernel (md5 over payload
+        # hex → normalized byte vector) is replayed bit-exactly — the
+        # sums are exact integers in float64, sqrt/div are correctly
+        # rounded, so the double lists match to the last bit.
+        "media_features": """
+            WITH media AS (
+                SELECT i AS media_id,
+                       ['image', 'audio', 'video'][(i % 3) + 1] AS kind,
+                       repeat(md5('42:' || i), 8 + i % 17) AS payload_hex
+                FROM range(96) t(i)
+            ),
+            f AS (
+                SELECT media_id, kind, md5(payload_hex) AS hx FROM media
+            ),
+            b AS (
+                SELECT media_id, kind,
+                       list_transform(range(1, 17),
+                           k -> (('0x' || substr(hx, 2*k-1, 2))::INT)::DOUBLE) AS v
+                FROM f
+            )
+            SELECT media_id, kind,
+                   """ + ",\n                   ".join(
+                       f"v[{k + 1}] / sqrt(list_sum(list_transform(v, y -> y*y)))"
+                       f" AS f{k:02d}" for k in range(16)
+                   ) + """
+            FROM b
         """,
         # DuckDB twin of ops/dedup.py:simhash64 — md5-upper-half token
         # hashes, per-bit +1/-1 accumulation, then a BRUTE-FORCE pair

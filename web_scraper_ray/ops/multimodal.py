@@ -39,7 +39,9 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     kinds = ["image", "audio", "video"]
     rows = {name: [] for name in MEDIA_SCHEMA.names}
     for i in range(n):
-        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+        # md5 (not blake2b): DuckDB reproduces this generator exactly,
+        # which is what makes the media_features query SQL-oracled
+        h = bytes.fromhex(hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
@@ -72,8 +74,10 @@ class ImageFeatureExtractor:
             raise NotImplementedError(
                 "image decode requires PIL/torchvision — not available in this container"
             )
-        # deterministic fake: bytes → normalized histogram-ish vector
-        h = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        # deterministic fake: md5 over the payload HEX (DuckDB md5 is
+        # VARCHAR-only, so hashing the hex keeps the twin exact) →
+        # normalized histogram-ish vector; feature_dim <= 16 (md5 width)
+        h = hashlib.md5(payload.hex().encode()).digest()[: self.feature_dim]
         v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
         n = np.linalg.norm(v)
         return v / (n if n else 1.0)
