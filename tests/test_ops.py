@@ -328,14 +328,17 @@ def test_embedding_lsh_recall_vs_exact(ray_session, sf_dir):
     ds = _plant_embedding_dups(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     ).materialize()
-    lsh = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
     exact = embedding_dup_pairs(ds, threshold=0.9, exact=True).to_pandas()
-    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
     exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
     assert len(exact_pairs) >= 10  # the plants are really there
-    assert lsh_pairs <= exact_pairs  # verification keeps precision exact
-    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.9, (recall, len(exact_pairs))
+    # default 8 planes and the >8-plane generalization (bit-k packing)
+    for n_planes in (8, 12):
+        lsh = embedding_dup_pairs(ds, threshold=0.9,
+                                  n_planes=n_planes).to_pandas()
+        lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+        assert lsh_pairs <= exact_pairs  # verification keeps precision exact
+        recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.9, (n_planes, recall, len(exact_pairs))
 
 
 def test_embedding_sim_threshold_not_on_boundary(sf_dir):

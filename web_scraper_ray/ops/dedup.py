@@ -814,12 +814,15 @@ def embedding_dup_pairs(
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((dim, n_planes))
         signs = (mat @ planes) >= 0
-        base = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
+        # plane k is bit k of the bucket id — supports up to 62 planes
+        # (2^n_planes buckets is the scale knob: more planes → smaller
+        # buckets → cheaper in-bucket verification, lower recall per
+        # probe; multi-probe buys the recall back)
+        base = signs @ (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         probes = [base]
         if multi_probe:
-            # packbits is big-endian within the byte: plane k is bit
-            # (7 - k); flipping any single plane probes that bucket
-            probes += [base ^ (1 << (7 - k)) for k in range(n_planes)]
+            # flipping any single plane probes that Hamming-1 bucket
+            probes += [base ^ np.int64(1 << k) for k in range(n_planes)]
         reps = len(probes)
         vecs = [v.tolist() for v in mat]
         return pd.DataFrame(
