@@ -31,6 +31,76 @@ _STOPWORDS_SQL = (
     "'been','it','this','that','for','on','with','as','at','by']"
 )
 
+#: DuckDB twin of ops/text.py:rolling_fingerprint (also reused inside
+#: the training_corpus composite oracle)
+_FINGERPRINT_SQL = r"""
+            WITH wh AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split_regex(text, '[ \t\n\r\f\v]+'),
+                               w -> w <> ''),
+                           w -> list_reduce(
+                               list_transform(string_split(w, ''),
+                                              c -> ord(c)::HUGEINT),
+                               (a, x) -> (a * 1000003 + x)
+                                         % ((1::HUGEINT << 61) - 1))
+                       ) AS hs
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE
+                        WHEN len(hs) = 0 THEN 0
+                        WHEN len(hs) < 5 THEN list_reduce(hs,
+                             (a, x) -> (a * 1000003 + x)
+                                       % ((1::HUGEINT << 61) - 1))
+                        ELSE list_min(list_transform(range(1, len(hs) - 3),
+                             i -> list_reduce(hs[i:i+4],
+                                  (a, x) -> (a * 1000003 + x)
+                                            % ((1::HUGEINT << 61) - 1))))
+                        END AS UBIGINT) AS fingerprint
+            FROM wh
+        """
+
+
+def _training_corpus_sql() -> str:
+    """The composite pipeline's DuckDB twin: quality-gated stats →
+    md5 exact dedup AMONG SURVIVORS (min doc_id wins) → langid +
+    fingerprint joined back by doc_id. Column set and order =
+    pipelines/training_corpus.py:CORPUS_COLUMNS."""
+    stats_sql = f"""
+            SELECT doc_id, text,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) // 4 AS BIGINT) AS est_tokens,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+                   CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                        w -> list_contains({_STOPWORDS_SQL}, w)))
+                        AS BIGINT) AS n_stop
+            FROM documents
+    """
+    return f"""
+        WITH stats AS ({stats_sql}),
+        kept AS (
+            SELECT * FROM stats
+            WHERE n_words >= 15
+              AND n_chars * 10 <= 120 * n_words
+              AND n_chars * 10 >= 20 * n_words
+              AND n_punct * 10 <= 3 * n_words
+              AND n_stop * 100 >= 2 * n_words
+        ),
+        dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        lang AS ({_langid_sql()}),
+        fp AS ({_FINGERPRINT_SQL})
+        SELECT k.doc_id, k.n_chars, k.est_tokens, k.n_words, k.n_punct,
+               k.n_upper, k.n_stop, l.pred_lang, f.fingerprint
+        FROM kept k
+        JOIN dedup USING (doc_id)
+        JOIN lang l USING (doc_id)
+        JOIN fp f USING (doc_id)
+    """
+
 
 # ---------------------------------------------------------------------------
 # synthetic corpus helpers (crawl queries need a pages table; testdata has
@@ -157,6 +227,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return quality_filter(ds)
+
+    def q_training_corpus(sf_dir: str):
+        from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        # near_dedup=False: this query is the SQL-expressible spine of
+        # the composite; the near-dup stage is pytest-covered instead
+        return training_corpus_ds(ds, near_dedup=False)
 
     def q_near_dedup(sf_dir: str):
         import ray.data
@@ -358,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "training_corpus": q_training_corpus,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
@@ -678,34 +759,12 @@ def oracle_sql() -> dict[str, str]:
         # hashes = byte-wise polynomial fold (base 1000003 mod 2^61-1;
         # ord(c) == the utf-8 byte on the ASCII documents corpus),
         # fingerprint = min over all 5-word-window folds.
-        "fingerprints": r"""
-            WITH wh AS (
-                SELECT doc_id,
-                       list_transform(
-                           list_filter(
-                               string_split_regex(text, '[ \t\n\r\f\v]+'),
-                               w -> w <> ''),
-                           w -> list_reduce(
-                               list_transform(string_split(w, ''),
-                                              c -> ord(c)::HUGEINT),
-                               (a, x) -> (a * 1000003 + x)
-                                         % ((1::HUGEINT << 61) - 1))
-                       ) AS hs
-                FROM documents
-            )
-            SELECT doc_id,
-                   CAST(CASE
-                        WHEN len(hs) = 0 THEN 0
-                        WHEN len(hs) < 5 THEN list_reduce(hs,
-                             (a, x) -> (a * 1000003 + x)
-                                       % ((1::HUGEINT << 61) - 1))
-                        ELSE list_min(list_transform(range(1, len(hs) - 3),
-                             i -> list_reduce(hs[i:i+4],
-                                  (a, x) -> (a * 1000003 + x)
-                                            % ((1::HUGEINT << 61) - 1))))
-                        END AS UBIGINT) AS fingerprint
-            FROM wh
-        """,
+        "fingerprints": _FINGERPRINT_SQL,
+        # the full training-corpus composite (quality gate → exact
+        # dedup among survivors → langid → fingerprint + token counts)
+        # — each fragment is the already-verified oracle of its
+        # standalone query, composed by doc_id joins
+        "training_corpus": _training_corpus_sql(),
         "quality_filter": f"""
             WITH stats AS (
                 SELECT doc_id,

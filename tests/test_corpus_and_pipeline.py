@@ -59,3 +59,34 @@ def test_verify_pipeline_all_match(ray_session, small_corpus):
         matched += pc.sum(batch["text_match"]).as_py()
     assert total == 120
     assert matched == total
+
+
+def test_build_training_corpus_composite(ray_session, sf_dir, tmp_path):
+    """The training-corpus composite end to end: quality gate → exact
+    dedup → near-dup removal → langid/fingerprint/token counts →
+    partitioned parquet + atomic manifest."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from web_scraper_ray.pipelines.training_corpus import (
+        CORPUS_COLUMNS,
+        build_training_corpus,
+    )
+
+    out = str(tmp_path / "curated")
+    m = build_training_corpus(f"{sf_dir}/documents.parquet", out, near_dedup=True)
+    assert 0 < m["n_out"] <= m["n_in"]
+    assert sum(m["lang_counts"].values()) == m["n_out"]
+    t = pq.read_table(out)
+    assert t.column_names == CORPUS_COLUMNS
+    assert t.num_rows == m["n_out"]
+    disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert disk == m
+
+    # the near-dup stage only ever removes rows vs the spine
+    out2 = str(tmp_path / "curated_spine")
+    m2 = build_training_corpus(f"{sf_dir}/documents.parquet", out2,
+                               near_dedup=False)
+    assert m["n_out"] <= m2["n_out"]

@@ -57,35 +57,38 @@ def text_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
-def quality_filter(
-    ds,
+def quality_mask(
+    stats: pd.DataFrame,
     min_words: int = 15,
     max_mean_word_len: float = 12.0,
     min_mean_word_len: float = 2.0,
     max_punct_per_word: float = 0.3,
     min_stop_fraction_pct: int = 2,
-) -> "ray.data.Dataset":
-    """Gopher-style document quality gate over the counting stats:
-    word-count bounds, mean word length window, punctuation density,
-    stopword presence. All predicates are exact-integer/rational
-    comparisons over :func:`text_stats_batch` columns, so the filter is
-    SQL-oracle-checkable bit for bit (fractions compared cross-
-    multiplied — no float division on either side)."""
+) -> pd.Series:
+    """The Gopher-style keep predicate over :func:`text_stats_batch`
+    columns: word-count bounds, mean word length window, punctuation
+    density, stopword presence. All comparisons are exact-integer/
+    rational (fractions cross-multiplied — no float division), so any
+    consumer is SQL-oracle-checkable bit for bit."""
+    w = stats["n_words"]
+    return (
+        (w >= min_words)
+        # mean word length window: n_chars/n_words in [min, max]
+        # (approximated on chars incl. single spaces, same both sides)
+        & (stats["n_chars"] * 10 <= int(max_mean_word_len * 10) * w)
+        & (stats["n_chars"] * 10 >= int(min_mean_word_len * 10) * w)
+        # punctuation per word <= max (cross-multiplied)
+        & (stats["n_punct"] * 10 <= int(max_punct_per_word * 10) * w)
+        & (stats["n_stop"] * 100 >= min_stop_fraction_pct * w)
+    )
+
+
+def quality_filter(ds, **mask_kwargs) -> "ray.data.Dataset":
+    """Gopher-style document quality gate (see :func:`quality_mask`)."""
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         stats = text_stats_batch(df)
-        w = stats["n_words"]
-        keep = (
-            (w >= min_words)
-            # mean word length window: n_chars/n_words in [min, max]
-            # (approximated on chars incl. single spaces, same both sides)
-            & (stats["n_chars"] * 10 <= int(max_mean_word_len * 10) * w)
-            & (stats["n_chars"] * 10 >= int(min_mean_word_len * 10) * w)
-            # punctuation per word <= max (cross-multiplied)
-            & (stats["n_punct"] * 10 <= int(max_punct_per_word * 10) * w)
-            & (stats["n_stop"] * 100 >= min_stop_fraction_pct * w)
-        )
-        return stats.loc[keep]
+        return stats.loc[quality_mask(stats, **mask_kwargs)]
 
     import ray.data  # noqa: F401 (type note only)
 
