@@ -241,6 +241,45 @@ def test_bucketed_fetch_join_parity(ray_session, small_corpus, tmp_path_factory,
     assert res.seen.snapshot() == model_result[1]
 
 
+def test_live_fetch_mode_parity(ray_session, small_corpus, tmp_path_factory,
+                                engine_result, model_result):
+    """fetch_join="live" (actor-pool fetcher, NO corpus join — the real
+    deployment shape) with the deterministic corpus-backed fetcher
+    produces the identical crawl to the broadcast scan mode; a rate
+    limiter on a virtual clock binds politeness without changing the
+    crawl (vt ordering is admission-side, throttling is runtime-side)."""
+    import ray
+
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+    from web_scraper_ray.crawl.ratelimit import (
+        RateLimiter, VirtualClock, clock_fns,
+    )
+    from web_scraper_ray.crawl.robots import RobotsRules
+
+    _, order_bc = engine_result
+    for with_limiter in (False, True):
+        cfg = CrawlConfig(max_depth=2, seen_shards=4, fetch_join="live",
+                          fetch_concurrency=2)
+        ckpt = str(tmp_path_factory.mktemp(f"ckpt_live_{with_limiter}"))
+        limiter = sleep = None
+        if with_limiter:
+            clock = ray.remote(VirtualClock).options(num_cpus=0).remote()
+            now, sleep = clock_fns(clock)
+            rules = RobotsRules({}, {}, default_delay_ms=5)
+            limiter = RateLimiter(rules, n_shards=2, burst=4, clock=now)
+        res = run_crawl(
+            f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+            robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+            rate_limiter=limiter,
+            fetcher_kwargs={"sleep": sleep} if with_limiter else None,
+        )
+        order = load_crawl_order(ckpt)
+        assert list(zip(order["round"], order["url"], order["vt"])) == list(
+            zip(order_bc["round"], order_bc["url"], order_bc["vt"])
+        ), f"with_limiter={with_limiter}"
+        assert res.seen.snapshot() == model_result[1]
+
+
 def test_ranked_politeness_parity(ray_session, small_corpus, tmp_path_factory,
                                   engine_result, model_result):
     """The range-partitioned two-pass politeness rank (giant-host path)

@@ -99,6 +99,26 @@ def test_throttled_fetcher_per_host_spacing(ray_session, tmp_path):
     assert 2.9 <= now() <= 3.1
 
 
+def test_no_epsilon_livelock():
+    """Regression: sleeping EXACTLY the returned wait must always make
+    progress. At fractional rates (5 ms delay → rate 200/s) the refill
+    for (1-tokens)/rate seconds can land at 0.999… < 1.0 in float64;
+    without the bucket's grant epsilon the next wait is ~5e-19 s whose
+    clock advance rounds away entirely — an infinite loop."""
+    clock = FakeClock()
+    b = HostTokenBuckets(RobotsRules({}, {}, default_delay_ms=5), 0, 1,
+                         burst=1, clock=clock)
+    grants = iters = 0
+    while grants < 50:
+        (w,) = b.acquire_batch(["h.example"])
+        iters += 1
+        assert iters < 1000, "epsilon livelock: waits never reach a grant"
+        if w == 0.0:
+            grants += 1
+        else:
+            clock.t += w  # the adversarial exact-wait sleeper
+
+
 def test_rate_limiter_actors_and_plan(ray_session):
     limiter = RateLimiter(_rules(), n_shards=2, burst=1)
     urls = [

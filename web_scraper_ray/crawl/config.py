@@ -20,10 +20,16 @@ class CrawlConfig:
     max_pages: int | None = None  # global cap on fetched pages (by crawl order)
     seen_shards: int = 8
     respect_robots: bool = True
-    # fetch-join strategy: "broadcast" (admitted set ray.put once —
-    # until a round outgrows driver memory) or "bucketed" (partitioned
-    # hash semi-join, the 10^10-frontier path; frontier.py docstring)
+    # fetch strategy: "broadcast" (admitted set into the object store
+    # once, vectorized lookup per corpus batch), "bucketed"
+    # (partitioned hash join, the 10^10-frontier path; frontier.py
+    # docstring), or "live" (NO corpus join — the admitted frontier
+    # feeds an actor-pool fetcher directly; run_crawl's fetcher_cls /
+    # rate_limiter choose the fetcher and bind per-host politeness)
     fetch_join: str = "broadcast"
+    # live mode: actor pool width and rows per fetch call
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 64
     # politeness ranking: "fused" (vt inside the admission bucket task —
     # one host's candidates fit one task) or "ranked" (range-partitioned
     # two-pass rank; hosts may span blocks — the giant-host path)

@@ -404,6 +404,54 @@ def _bucketed_fetch_join(pages: ray.data.Dataset,
     return both.groupby("bucket").map_groups(join_group, batch_format="pandas")
 
 
+class _MetaCarryingFetcher:
+    """Live-mode fetch actor: wraps any fetcher class (optionally
+    behind the token-bucket ``RateLimiter`` via ``ThrottledFetcher``)
+    and carries the frontier's META_COLUMNS through positionally —
+    legal because every fetcher contract is 1:1 and order-preserving.
+    This is the "actor-pool HTTP fetcher replaces the corpus scan"
+    deployment shape the scan modes stand in for."""
+
+    def __init__(self, inner_cls=None, limiter=None, sleep=None,
+                 **inner_kwargs):
+        from ..stages.fetch import ThrottledFetcher
+
+        if limiter is not None:
+            self.inner = ThrottledFetcher(inner_cls=inner_cls, limiter=limiter,
+                                          sleep=sleep, **inner_kwargs)
+        else:
+            self.inner = inner_cls(**inner_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.inner(batch.select(["url"]))
+        keep = pc.equal(out["status"], "fetched")
+        fetched = pa.table({"url": out["url"], "html": out["html"]})
+        for c in META_COLUMNS:
+            fetched = fetched.append_column(c, batch[c])
+        return fetched.filter(keep)
+
+
+def _live_fetch(adm_dir: str, config: CrawlConfig, fetcher_cls=None,
+                fetcher_kwargs: Optional[dict] = None,
+                rate_limiter=None) -> ray.data.Dataset:
+    """Live fetch path (fetch_join="live"): the admitted frontier is
+    READ as a Dataset and streamed straight into the fetch actor pool —
+    no corpus join exists at all. With a corpus-backed fetcher this is
+    byte-identical to the scan modes (test_live_fetch_mode_parity);
+    with ``HttpFetcher`` + ``rate_limiter`` it is the real deployment."""
+    adm = ray.data.read_parquet(adm_dir, columns=["url"] + META_COLUMNS)
+    return adm.map_batches(
+        _MetaCarryingFetcher,
+        batch_format="pyarrow",
+        batch_size=config.fetch_batch_size,
+        concurrency=config.fetch_concurrency,
+        fn_constructor_kwargs=dict(
+            inner_cls=fetcher_cls, limiter=rate_limiter,
+            **(fetcher_kwargs or {}),
+        ),
+    )
+
+
 def _extract_with_meta(batch: pa.Table) -> pa.Table:
     """Extraction kernel with the frontier metadata columns riding
     through (extract_batch is 1:1 and order-preserving)."""
@@ -416,6 +464,9 @@ def _extract_with_meta(batch: pa.Table) -> pa.Table:
 def _fetch_and_extract(
     pages_path: str, adm_dir: str, round_no: int, odir: str,
     join_mode: str = "broadcast",
+    config: CrawlConfig = CrawlConfig(),
+    fetcher_cls=None, fetcher_kwargs: Optional[dict] = None,
+    rate_limiter=None,
 ) -> ray.data.Dataset:
     """Corpus-backed fetch: one pass over the pages table restricted to
     the round's admitted URL set, then the extraction kernel. A live
@@ -451,6 +502,19 @@ def _fetch_and_extract(
 
     shutil.rmtree(odir, ignore_errors=True)  # crashed-attempt leftovers
     os.makedirs(odir, exist_ok=True)
+
+    if join_mode == "live":
+        if fetcher_cls is None:  # offline default: deterministic corpus fetcher
+            from ..stages.fetch import CorpusFetcher
+
+            fetcher_cls = CorpusFetcher
+            fetcher_kwargs = dict(fetcher_kwargs or {}, pages_path=pages_path)
+        fetched = _live_fetch(adm_dir, config, fetcher_cls, fetcher_kwargs,
+                              rate_limiter)
+        extracted = fetched.map_batches(_extract_with_meta,
+                                        batch_format="pyarrow", batch_size=256)
+        return _write_and_slim_stage(extracted, round_no, odir)
+
     pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
                                   override_num_blocks=_default_blocks())
 
@@ -474,7 +538,14 @@ def _fetch_and_extract(
         fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
     extracted = fetched.map_batches(_extract_with_meta, batch_format="pyarrow",
                                     batch_size=256)
+    return _write_and_slim_stage(extracted, round_no, odir)
 
+
+def _write_and_slim_stage(extracted: ray.data.Dataset, round_no: int,
+                          odir: str) -> ray.data.Dataset:
+    """In-pipeline round-output write: one idempotent content-named
+    parquet file per extracted batch, then only the slim
+    (url, links, META_COLUMNS) table flows on to discovery."""
     slim_cols = ["url", "links"] + META_COLUMNS
     from ..stages.extract_stage import EXTRACT_SCHEMA
 
@@ -632,8 +703,17 @@ def run_crawl(
     robots_path: Optional[str] = None,
     config: CrawlConfig = CrawlConfig(),
     resume: bool = False,
+    fetcher_cls=None,
+    fetcher_kwargs: Optional[dict] = None,
+    rate_limiter=None,
 ) -> CrawlResult:
-    """Run (or resume) the frontier crawl. See module docstring."""
+    """Run (or resume) the frontier crawl. See module docstring.
+
+    With ``config.fetch_join="live"`` the corpus scan is replaced by an
+    actor-pool fetcher (``fetcher_cls``, default the corpus-backed
+    offline fetcher; pass ``stages.fetch.HttpFetcher`` + a
+    ``rate_limiter`` for a real deployment — the limiter binds per-host
+    politeness across the whole pool)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -728,7 +808,10 @@ def run_crawl(
         # next frontier
         odir = os.path.join(checkpoint_dir, f"output_{r:04d}")
         out_slim = _fetch_and_extract(pages_path, adm_dir, r, odir,
-                                      join_mode=config.fetch_join)
+                                      join_mode=config.fetch_join,
+                                      config=config, fetcher_cls=fetcher_cls,
+                                      fetcher_kwargs=fetcher_kwargs,
+                                      rate_limiter=rate_limiter)
         n_next = 0
         if r < config.max_depth:
             cands = _link_candidates(out_slim, robots_ref, config)

@@ -46,6 +46,12 @@ class HostTokenBuckets:
         delay_ms = self.rules.delay_ms(host)
         return 1000.0 / delay_ms if delay_ms > 0 else float("inf")
 
+    #: grant tolerance: refilling for exactly (1-tokens)/rate seconds
+    #: can land at 0.999… < 1.0 in float64; without the epsilon a
+    #: caller that sleeps exactly the returned wait livelocks on
+    #: epsilon-sized waits whose clock advance rounds away entirely
+    _EPS = 1e-9
+
     def acquire_batch(self, hosts: list[str]) -> list[float]:
         """0.0 = token granted; >0 = seconds until this host's next
         token (row should be re-queued, not blocked on)."""
@@ -58,8 +64,8 @@ class HostTokenBuckets:
                 continue
             tokens, last = self.state.get(host, (float(self.burst), now))
             tokens = min(self.burst, tokens + (now - last) * rate)
-            if tokens >= 1.0:
-                self.state[host] = (tokens - 1.0, now)
+            if tokens >= 1.0 - self._EPS:
+                self.state[host] = (max(tokens - 1.0, 0.0), now)
                 out.append(0.0)
             else:
                 self.state[host] = (tokens, now)

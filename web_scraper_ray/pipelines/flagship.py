@@ -21,7 +21,11 @@ def _default_blocks() -> Optional[int]:
     """Enough read tasks to keep every core busy even when the corpus
     has few files (parquet reads split at row-group granularity); a
     file count below the core count otherwise caps the fused
-    read→extract stage's parallelism."""
+    read→extract stage's parallelism. 2 tasks per core measured best
+    END TO END: finer blocks (6×) shave ~7% off the pure extract scan
+    by packing the tail waves, but give it all back in write-file and
+    per-round dispatch overhead (and regress the crawl loop, which
+    pays the task count every round)."""
     import ray
 
     try:

@@ -205,7 +205,10 @@ class ThrottledFetcher:
                 pieces.append((ready, self.inner(batch.take(ready)), waited))
             pending = [i for i, w in zip(pending, waits) if w > 0.0]
             if pending:
-                dt = min(w for w in waits if w > 0.0)
+                # floor the wait: an epsilon-sized dt (float residue of
+                # the bucket's refill arithmetic) would advance the
+                # clock by an amount that rounds away — no progress
+                dt = max(min(w for w in waits if w > 0.0), 1e-6)
                 self.sleep(dt)
                 waited += dt
         merged = pa.concat_tables(t for _, t, _ in pieces)
