@@ -228,6 +228,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quality_filter(ds)
 
+    def q_hash_sample(sf_dir: str):
+        from web_scraper_ray.ops.sampling import hash_sample
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        return hash_sample(ds, "doc_id", rate=0.25, seed=17)
+
+    def q_hash_split(sf_dir: str):
+        from web_scraper_ray.ops.sampling import hash_split
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return hash_split(
+            ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=17
+        )
+
     def q_training_corpus(sf_dir: str):
         from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
 
@@ -438,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
@@ -760,6 +780,25 @@ def oracle_sql() -> dict[str, str]:
         # ord(c) == the utf-8 byte on the ASCII documents corpus),
         # fingerprint = min over all 5-word-window folds.
         "fingerprints": _FINGERPRINT_SQL,
+        # deterministic md5-hash sampling / splitting (ops/sampling.py):
+        # the same (seed, key) → uint64 decisions replayed in SQL
+        "hash_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                  < {int(0.25 * (1 << 64))}::UBIGINT
+        """,
+        "hash_split": f"""
+            SELECT doc_id, n_chars,
+                   CASE
+                     WHEN ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                          < {min(int(0.8 * (1 << 64)), (1 << 64) - 1)}::UBIGINT THEN 'train'
+                     WHEN ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                          < {min(int((0.8 + 0.1) * (1 << 64)), (1 << 64) - 1)}::UBIGINT THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
         # the full training-corpus composite (quality gate → exact
         # dedup among survivors → langid → fingerprint + token counts)
         # — each fragment is the already-verified oracle of its

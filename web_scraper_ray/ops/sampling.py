@@ -1,0 +1,92 @@
+"""Deterministic sampling and splitting — the reproducibility-critical
+ops of a training-data pipeline (held-out splits, corpus downsampling,
+ablation subsets).
+
+Everything is keyed on a content/id hash, never on RNG state: a row's
+fate depends only on (seed, its key), so results are identical at any
+parallelism, any block layout, any resume point — and re-runs on a
+grown corpus keep every previously-sampled row stable (the property
+wall-clock or per-task RNG sampling cannot give). Hash = md5 upper
+half (big-endian), so DuckDB reproduces every decision exactly
+(``('0x' || substr(md5(...), 1, 16))::UBIGINT``) and the queries are
+value-hash-checkable against SQL oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+_SCALE = float(1 << 64)
+
+
+def _key_hash(series: pd.Series, seed: int) -> np.ndarray:
+    """uint64 md5-upper-half of ``f"{seed}:{value}"`` per row (the
+    DuckDB twin is ``md5(seed || ':' || value)``)."""
+    pre = f"{seed}:"
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((pre + str(v)).encode()).digest()[:8], "big")
+            for v in series
+        ),
+        dtype=np.uint64,
+        count=len(series),
+    )
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    rate: float,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Keep each row iff ``hash(seed:key) < rate * 2^64`` — a
+    deterministic Bernoulli(rate) sample stratified by nothing but the
+    key hash. Pure map_batches filter: no shuffle, no materialization,
+    stable under re-runs and corpus growth."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = np.uint64(min(int(rate * _SCALE), (1 << 64) - 1))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[_key_hash(df[key_col], seed) < threshold]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Assign every row a ``split`` label (e.g. train/val/test) by hash
+    range: row → the first split whose cumulative fraction exceeds
+    ``hash/2^64``. Deterministic, disjoint, exhaustive; a document can
+    never leak across splits between runs. ``fractions`` must sum to 1
+    (within 1e-9); insertion order defines the ranges."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    # integer cut points in hash space: exact, and reproducible in SQL
+    cuts, acc = [], 0.0
+    for n in names[:-1]:
+        acc += fractions[n]
+        cuts.append(min(int(acc * _SCALE), (1 << 64) - 1))
+    cut_arr = np.array(cuts, dtype=np.uint64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[key_col], seed)
+        idx = np.searchsorted(cut_arr, h, side="right")
+        out = df.copy()
+        out["split"] = pd.Series(
+            np.array(names, dtype=object)[idx], index=df.index, dtype="object"
+        )
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
