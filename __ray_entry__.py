@@ -228,6 +228,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quality_filter(ds)
 
+    def q_token_pieces(sf_dir: str):
+        from web_scraper_ray.ops.text import token_pieces_batch
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(token_pieces_batch, batch_format="pandas")
+
     def q_hash_sample(sf_dir: str):
         from web_scraper_ray.ops.sampling import hash_sample
 
@@ -456,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "token_pieces": q_token_pieces,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
@@ -780,6 +789,18 @@ def oracle_sql() -> dict[str, str]:
         # ord(c) == the utf-8 byte on the ASCII documents corpus),
         # fingerprint = min over all 5-word-window folds.
         "fingerprints": _FINGERPRINT_SQL,
+        # BPE-pretokenizer piece counts: the IDENTICAL pattern string
+        # runs under Python re (ASCII) and DuckDB RE2 (no lookahead, no
+        # unicode classes — by construction, ops/text.py:BPE_PIECE_RE)
+        "token_pieces": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_pieces,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(text) // 4 AS BIGINT) AS est_tokens
+            FROM documents
+        """,
         # deterministic md5-hash sampling / splitting (ops/sampling.py):
         # the same (seed, key) → uint64 decisions replayed in SQL
         "hash_sample": f"""
