@@ -89,3 +89,20 @@ def test_job_include_images_map(ray_session, small_corpus, corpus_urls, tmp_path
     md = open(res.files[0]).read()
     assert "## Images" in md
     assert str(tmp_path / "images") in md  # local path substituted
+
+
+def test_job_duplicate_seed_urls(ray_session, small_corpus, corpus_urls):
+    """Review regression: a URL listed twice must be processed twice
+    (the reference's per-URL loop semantics) — the scan-join fetch
+    re-expands multiplicity rather than collapsing the set."""
+    from web_scraper_ray.pipelines.job import run_job
+
+    res = run_job(
+        [corpus_urls[0], corpus_urls[0], corpus_urls[1]],
+        {"organization": {"single_file": False}},
+        pages_path=f"{small_corpus}/pages",
+    )
+    assert res.stats["successful"] == 3
+    assert res.stats["failed"] == 0
+    assert len(res.printed) == 3
+    assert sum(corpus_urls[0] in doc for doc in res.printed) == 2

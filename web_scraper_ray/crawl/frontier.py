@@ -413,7 +413,7 @@ class _MetaCarryingFetcher:
     deployment shape the scan modes stand in for."""
 
     def __init__(self, inner_cls=None, limiter=None, sleep=None,
-                 **inner_kwargs):
+                 errors_dir: Optional[str] = None, **inner_kwargs):
         from ..stages.fetch import ThrottledFetcher
 
         if limiter is not None:
@@ -421,10 +421,27 @@ class _MetaCarryingFetcher:
                                           sleep=sleep, **inner_kwargs)
         else:
             self.inner = inner_cls(**inner_kwargs)
+        self.errors_dir = errors_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.inner(batch.select(["url"]))
         keep = pc.equal(out["status"], "fetched")
+        # un-fetched rows (error/miss) must not vanish: the URL is
+        # already in the seen set (admission-time add), so a dropped
+        # transient failure would be a PERMANENT silent page loss.
+        # They are recorded per round (idempotent content-named file);
+        # a re-crawl/requeue policy reads errors_* instead of guessing.
+        lost = out.filter(pc.invert(keep))
+        if self.errors_dir and lost.num_rows:
+            import hashlib
+
+            urls = lost["url"].to_pylist()
+            name = hashlib.blake2b(
+                f"{urls[0]}|{urls[-1]}|{lost.num_rows}".encode(), digest_size=8
+            ).hexdigest()
+            os.makedirs(self.errors_dir, exist_ok=True)
+            pq.write_table(lost.select(["url", "status", "error"]),
+                           os.path.join(self.errors_dir, f"err-{name}.parquet"))
         fetched = pa.table({"url": out["url"], "html": out["html"]})
         for c in META_COLUMNS:
             fetched = fetched.append_column(c, batch[c])
@@ -433,12 +450,14 @@ class _MetaCarryingFetcher:
 
 def _live_fetch(adm_dir: str, config: CrawlConfig, fetcher_cls=None,
                 fetcher_kwargs: Optional[dict] = None,
-                rate_limiter=None) -> ray.data.Dataset:
+                rate_limiter=None,
+                errors_dir: Optional[str] = None) -> ray.data.Dataset:
     """Live fetch path (fetch_join="live"): the admitted frontier is
     READ as a Dataset and streamed straight into the fetch actor pool —
     no corpus join exists at all. With a corpus-backed fetcher this is
     byte-identical to the scan modes (test_live_fetch_mode_parity);
-    with ``HttpFetcher`` + ``rate_limiter`` it is the real deployment."""
+    with ``HttpFetcher`` + ``rate_limiter`` it is the real deployment.
+    Un-fetched rows land in ``errors_dir`` (see _MetaCarryingFetcher)."""
     adm = ray.data.read_parquet(adm_dir, columns=["url"] + META_COLUMNS)
     return adm.map_batches(
         _MetaCarryingFetcher,
@@ -447,7 +466,7 @@ def _live_fetch(adm_dir: str, config: CrawlConfig, fetcher_cls=None,
         concurrency=config.fetch_concurrency,
         fn_constructor_kwargs=dict(
             inner_cls=fetcher_cls, limiter=rate_limiter,
-            **(fetcher_kwargs or {}),
+            errors_dir=errors_dir, **(fetcher_kwargs or {}),
         ),
     )
 
@@ -504,13 +523,19 @@ def _fetch_and_extract(
     os.makedirs(odir, exist_ok=True)
 
     if join_mode == "live":
-        if fetcher_cls is None:  # offline default: deterministic corpus fetcher
+        if fetcher_cls is None:
+            # offline default: the deterministic corpus-backed fetcher.
+            # TEST/SANDBOX ONLY — each fetch actor loads the whole
+            # corpus dict (CorpusFetcher docstring); a large-corpus
+            # offline run belongs on the scan modes, and a real live
+            # deployment passes HttpFetcher (no corpus at all).
             from ..stages.fetch import CorpusFetcher
 
             fetcher_cls = CorpusFetcher
             fetcher_kwargs = dict(fetcher_kwargs or {}, pages_path=pages_path)
         fetched = _live_fetch(adm_dir, config, fetcher_cls, fetcher_kwargs,
-                              rate_limiter)
+                              rate_limiter,
+                              errors_dir=os.path.join(odir, "errors"))
         extracted = fetched.map_batches(_extract_with_meta,
                                         batch_format="pyarrow", batch_size=256)
         return _write_and_slim_stage(extracted, round_no, odir)

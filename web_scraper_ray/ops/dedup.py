@@ -191,11 +191,17 @@ def minhash_lsh_pairs(
         ds = ds.map_batches(
             lambda df: df.rename(columns={text_col: "text"}), batch_format="pandas"
         )
+    # materialize ONCE: the signature stage (shingling + 64-perm modmul,
+    # the dominant compute) feeds TWO plan branches — the band explode
+    # and the sig_side of the verification join. Ray Data plans are
+    # trees, so without pinning, both branches would re-run it over
+    # every document. Signatures are compact (num_perm × 8 B per doc),
+    # so the pin is cheap and spillable.
     sigs = ds.select_columns([id_col, "text"]).map_batches(
         MinHasher(num_perm, shingle_k),
         batch_format="pandas",
         concurrency=concurrency,
-    )
+    ).materialize()
 
     def explode_slim(df: pd.DataFrame) -> pd.DataFrame:
         ids_out, bnds_out, keys_out = [], [], []
@@ -527,6 +533,16 @@ def components_min_label(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # labels are wrong (some nodes not yet at their component min),
+        # and using them would under-deduplicate SILENTLY — refuse.
+        # Rounds ≈ component diameter; a graph deeper than max_iters
+        # needs a bigger budget, not a wrong answer.
+        raise RuntimeError(
+            f"components_min_label did not converge in {max_iters} "
+            "iterations (component diameter exceeds the budget); "
+            "raise max_iters"
+        )
     return labels
 
 
@@ -624,10 +640,20 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    star_bucket_threshold: int = 4096,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk),
-    groupby chunk, verify exact hamming distance in the bucket."""
+    groupby chunk, verify exact hamming distance in the bucket.
+
+    Skew guard: a chunk bucket larger than ``star_bucket_threshold``
+    (one boilerplate text shared by n docs ⇒ all four chunks collide ⇒
+    O(n²) pairs per chunk) emits STAR pairs to its min id instead —
+    every member stays reachable from the representative for removal/
+    clustering, at the cost of non-star pair listing inside the bucket
+    (same trade as minhash_lsh_pairs; the default threshold is high
+    enough that only pathological buckets hit it, and those are
+    hamming-0 cliques where the star loses nothing)."""
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         lambda df: simhash_batch(df, text_col).drop(columns=[text_col]),
         batch_format="pandas",
@@ -668,6 +694,18 @@ def simhash_near_pairs(
         a_ids, b_ids, dists = [], [], []
         for s, ln in zip(new_run[run_len >= 2], run_len[run_len >= 2]):
             m_ids, m_hs = ids[s : s + ln], hs[s : s + ln]
+            if ln > star_bucket_threshold:
+                # skew guard: star to the min id (docstring)
+                x = m_hs[0] ^ m_hs[1:]
+                d = np.zeros(len(x), dtype=np.int64)
+                while x.any():
+                    d += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                keep = d <= max_hamming
+                a_ids.append(np.full(int(keep.sum()), m_ids[0]))
+                b_ids.append(m_ids[1:][keep])
+                dists.append(d[keep])
+                continue
             ia, ib = np.triu_indices(ln, 1)
             x = m_hs[ia] ^ m_hs[ib]
             d = np.zeros(len(x), dtype=np.int64)  # vectorized popcount

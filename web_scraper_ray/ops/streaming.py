@@ -118,7 +118,11 @@ def ingest_events_incremental(
         .groupby("shard")
         .map_groups(feed_partition, batch_format="pandas")
     )
-    assert sum(r["n_fed"] for r in fed.take_all()) == n_rows
+    # take_all() DRIVES the feeder pipeline — it must run
+    # unconditionally (never inside an assert, which -O strips)
+    n_fed = sum(r["n_fed"] for r in fed.take_all())
+    if n_fed != n_rows:
+        raise RuntimeError(f"feeder delivered {n_fed} of {n_rows} events")
 
     rows: list[dict] = []
     for part in ray.get([s.dump.remote() for s in shards]):

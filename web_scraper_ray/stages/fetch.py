@@ -233,7 +233,11 @@ def corpus_scan_fetch(urls: list[str], pages_path: str) -> "ray.data.Dataset":
     batch — no actor ever holds a url→html dict of the whole corpus
     (the ``CorpusFetcher``-per-actor materialization this replaces).
     URLs absent from the corpus simply never appear (the caller's
-    fetched-status filter drops misses either way)."""
+    fetched-status filter drops misses either way). A URL listed k
+    times emits k identical rows — same multiplicity as fetching each
+    seed row separately (the reference's per-URL loop)."""
+    from collections import Counter
+
     import pyarrow.compute as pc
 
     import ray
@@ -241,13 +245,21 @@ def corpus_scan_fetch(urls: list[str], pages_path: str) -> "ray.data.Dataset":
 
     from ..pipelines.flagship import _default_blocks
 
-    wanted_ref = ray.put(pa.array(sorted(set(urls)), pa.string()))
+    counts = Counter(urls)
+    wanted_ref = ray.put(
+        (pa.array(sorted(counts), pa.string()), dict(counts))
+    )
     pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
                                   override_num_blocks=_default_blocks())
 
     def keep(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(wanted_ref)
+        wanted, mult = ray.get(wanted_ref)
         sel = batch.filter(pc.is_valid(pc.index_in(batch["url"], value_set=wanted)))
+        # duplicate-seed multiplicity: repeat each matched row k times
+        reps = [mult[u] for u in sel["url"].to_pylist()]
+        if any(r != 1 for r in reps):
+            idx = [i for i, r in enumerate(reps) for _ in range(r)]
+            sel = sel.take(idx)
         k = sel.num_rows
         return pa.table(
             {
