@@ -224,7 +224,14 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    # Ray's raylet pushes warnings through a driver-side listener thread
+    # that writes to sys.stdout (log_to_driver=False does not cover it).
+    # Route everything printed during the run to stderr and emit the
+    # single JSON contract line on the REAL stdout at the end.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(result))
