@@ -356,3 +356,40 @@ def test_embedding_sim_threshold_not_on_boundary(sf_dir):
     iu = np.triu_indices(len(mat), 1)
     gap = np.abs(sims[iu] - 0.42)
     assert gap.min() > 1e-9, gap.min()
+
+
+def test_hash_split_validation_and_disjointness(ray_session, sf_dir):
+    import pytest
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import hash_sample, hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with pytest.raises(ValueError):
+        hash_split(ds, "doc_id", {"train": 0.5, "val": 0.1})  # sums to 0.6
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id", rate=1.5)
+    out = hash_split(ds, "doc_id", {"train": 0.5, "val": 0.5}).to_pandas()
+    assert set(out["split"]) <= {"train", "val"}
+    assert len(out) == ds.count()  # exhaustive: every row labeled
+    # sample at rate r is exactly the keys whose hash < r-cut: nested
+    # rates give nested samples (monotone property of hash gating)
+    small = set(r["doc_id"] for r in hash_sample(ds, "doc_id", 0.1).take_all())
+    big = set(r["doc_id"] for r in hash_sample(ds, "doc_id", 0.3).take_all())
+    assert small <= big
+
+
+def test_sized_read_parquet_dir_and_file(ray_session, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from web_scraper_ray.ops import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assert ds.count() == pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # directory input: sums file sizes, still reads fine
+    d = tmp_path / "many"
+    d.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    pq.write_table(t, str(d / "a.parquet"))
+    pq.write_table(t, str(d / "b.parquet"))
+    assert sized_read_parquet(str(d)).count() == 2 * t.num_rows
