@@ -393,3 +393,16 @@ def test_sized_read_parquet_dir_and_file(ray_session, sf_dir, tmp_path):
     pq.write_table(t, str(d / "a.parquet"))
     pq.write_table(t, str(d / "b.parquet"))
     assert sized_read_parquet(str(d)).count() == 2 * t.num_rows
+
+
+def test_components_raises_on_exhausted_iterations(ray_session):
+    """A diameter-5 chain cannot converge in 2 propagation rounds: the
+    loop must raise rather than silently return under-merged labels."""
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import components_min_label
+
+    chain = pd.DataFrame({"id_a": [0, 1, 2, 3, 4], "id_b": [1, 2, 3, 4, 5]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_min_label(ray.data.from_pandas(chain), n_buckets=4,
+                             max_iters=2, small_edge_cutoff=0)
