@@ -332,6 +332,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_topk(_emb_nonself(sf_dir), _query_vec(sf_dir), k=10,
                         n_lists=16, n_probe=6).select_columns(["vec_id"])
 
+    def q_similarity_ivf_exhaustive(sf_dir: str):
+        # n_probe == n_lists ⇒ every list probed ⇒ the IVF machinery
+        # must return EXACTLY the brute-force top-k — which is what
+        # makes this variant SQL-oracle-checkable (the approximate
+        # variant above stays rows-only + recall-tested)
+        from web_scraper_ray.ops.similarity import ivf_topk
+
+        return ivf_topk(_emb_nonself(sf_dir), _query_vec(sf_dir), k=10,
+                        n_lists=16, n_probe=16).select_columns(["vec_id"])
+
     def q_minhash_clusters(sf_dir: str):
         # distributed min-label propagation (no driver union-find);
         # non-representative members only — same row set as the
@@ -474,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_clusters": q_minhash_clusters,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_exhaustive": q_similarity_ivf_exhaustive,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
@@ -844,6 +855,15 @@ def oracle_sql() -> dict[str, str]:
               AND n_chars * 10 >= 20 * n_words
               AND n_punct * 10 <= 3 * n_words
               AND n_stop * 100 >= 2 * n_words
+        """,
+        "similarity_ivf_exhaustive": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
         """,
         "similarity_topk": """
             SELECT e.vec_id, e.label
