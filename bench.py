@@ -11,10 +11,13 @@ sized by $GRAFT_SF_DIR (default /root/testdata/sf0.1 → 200k pages),
 plus a full-corpus extraction pass and representative ops over the
 testdata tables.
 
-``--scaling``: runs the same bench in two fresh subprocesses at
-RAY_GRAFT_CPUS=8 and =32 on the same (cached, page-warm) input and
-reports throughput at both plus scaling efficiency (the sandbox
-evidence for the north rule's two-cluster-size criterion).
+``--scaling``: runs the same bench in FOUR fresh subprocesses
+(RAY_GRAFT_CPUS = 4, 16, 8, 32) on the same cached page-warm input and
+reports both N-vs-4N pairs (4v16 — neither leg saturates the box, the
+honest independent-node proxy; 8v32 — the saturated pair) plus their
+scaling efficiencies (the sandbox evidence for the north rule's
+two-cluster-size criterion). With the best-of-2 headline legs each
+subprocess runs crawl and extract twice.
 
 Corpus generation is cached (corpus._DONE stamp) and excluded from all
 timings.
@@ -176,6 +179,7 @@ def run_bench() -> dict:
             "crawl_admitted": res.n_admitted,
             "crawl_fetched": res.n_fetched,
             "crawl_reps": crawl_reps,
+            "extract_reps": extract_reps,
             "urls_per_sec": round(urls_per_sec, 1),
             "extract_pages_per_sec": round(n_pages / queries["extract_full"], 1),
         }
