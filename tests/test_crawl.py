@@ -130,6 +130,43 @@ def test_engine_resume_equivalence(ray_session, small_corpus, tmp_path_factory,
     assert res2.seen.snapshot() == model_result[1]
 
 
+def test_engine_resume_in_live_mode(ray_session, small_corpus, tmp_path_factory,
+                                    engine_result, model_result):
+    """Resume is fetch-mode-agnostic: interrupt after round 0 and
+    CONTINUE IN LIVE MODE — the checkpoint layout (frontier/output/
+    manifest) carries everything, and the live actor-pool fetch resumes
+    to the byte-identical crawl."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    res_full, order_full = engine_result
+    src = res_full.checkpoint_dir
+    dst = str(tmp_path_factory.mktemp("ckpt_resume_live"))
+    for name in os.listdir(src):
+        if name.startswith(("frontier_0000", "frontier_0001", "admitted_0000",
+                            "output_0000", "manifest_0000")):
+            s = os.path.join(src, name)
+            if os.path.isdir(s):
+                shutil.copytree(s, os.path.join(dst, name))
+            else:
+                shutil.copy(s, os.path.join(dst, name))
+
+    cfg_live = CrawlConfig(max_depth=CFG.max_depth, seen_shards=CFG.seen_shards,
+                           fetch_join="live", fetch_concurrency=2)
+    res2 = run_crawl(
+        f"{small_corpus}/pages",
+        f"{small_corpus}/seeds.parquet",
+        dst,
+        robots_path=f"{small_corpus}/robots.parquet",
+        config=cfg_live,
+        resume=True,
+    )
+    order2 = load_crawl_order(dst)
+    assert list(zip(order2["round"], order2["url"], order2["vt"])) == list(
+        zip(order_full["round"], order_full["url"], order_full["vt"])
+    )
+    assert res2.seen.snapshot() == model_result[1]
+
+
 def test_engine_max_pages_budget(ray_session, small_corpus, tmp_path_factory,
                                  model_result):
     from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
