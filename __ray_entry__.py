@@ -300,6 +300,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
 
+    def q_minhash_exhaustive(sf_dir: str):
+        # md5 shingle hasher + one global bucket ⇒ the signature
+        # kernel, pair dedup, id-bucketed signature join and
+        # verification stages must reproduce the all-pairs signature
+        # agreement EXACTLY — replayed bit for bit by the SQL oracle
+        # (the similarity_ivf_exhaustive pinning trick applied to
+        # minhash; the banded variant above stays rows-only)
+        from web_scraper_ray.ops.dedup import minhash_lsh_pairs
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return minhash_lsh_pairs(ds, num_perm=16, jaccard_threshold=0.5,
+                                 hasher="md5", exhaustive=True, concurrency=2)
+
     def q_simhash_pairs(sf_dir: str):
         import ray.data
         from web_scraper_ray.ops.dedup import simhash_near_pairs
@@ -352,12 +367,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
+        import pandas as pd
+
         comp = components_min_label(minhash_lsh_pairs(ds, jaccard_threshold=0.5))
-        df = comp.to_pandas()
-        df = df.loc[df["node"] != df["label"]].rename(
-            columns={"node": "doc_id", "label": "cluster_rep"}
-        )
-        return df.sort_values("doc_id").reset_index(drop=True)
+
+        def members(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["node"] != df["label"]].rename(
+                columns={"node": "doc_id", "label": "cluster_rep"}
+            )
+
+        # stays a Dataset end to end (cluster membership never lands
+        # on this process); the driver collects what it needs
+        return comp.map_batches(members, batch_format="pandas").sort("doc_id")
 
     def q_embedding_dups(sf_dir: str):
         # the synthetic embeddings contain no true near-dups, so the
@@ -482,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_exhaustive": q_minhash_exhaustive,
         "minhash_clusters": q_minhash_clusters,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_exhaustive": q_similarity_ivf_exhaustive,
@@ -500,6 +522,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ---------------------------------------------------------------------------
 # oracles
+
+def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
+    """DuckDB twin of ops/dedup.py:minhash_lsh_pairs(hasher='md5',
+    exhaustive=True): shingle sets (distinct 5-char substrings of
+    ASCII-ws-normalized text, space-padded under 5 chars), md5-upper-
+    half shingle hashes folded into [0, 2^61-1) (2^61 ≡ 1 mod p), the
+    exact (a*x+b) mod p minwise signature in HUGEINT, and all-pairs
+    signature-agreement ≥ threshold. The permutation constants are the
+    same seed-7 values the Ray kernel draws (injected as literals)."""
+    from web_scraper_ray.ops.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(num_perm, seed=7)
+    params_vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    p = _MERSENNE
+    return f"""
+        WITH params(i, a, b) AS (VALUES {params_vals}),
+        norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+                        ' ') AS t0
+            FROM documents
+        ),
+        padded AS (
+            SELECT doc_id,
+                   CASE WHEN length(t0) < 5
+                        THEN t0 || repeat(' ', 5 - length(t0))
+                        ELSE t0 END AS t
+            FROM norm
+        ),
+        positions AS (
+            SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS p
+            FROM padded
+        ),
+        grams AS (SELECT DISTINCT doc_id, substr(t, p, 5) AS g FROM positions),
+        folded AS (
+            SELECT doc_id,
+                   CASE WHEN (x0 & {p}::UBIGINT) + (x0 >> 61) >= {p}::UBIGINT
+                        THEN (x0 & {p}::UBIGINT) + (x0 >> 61) - {p}::UBIGINT
+                        ELSE (x0 & {p}::UBIGINT) + (x0 >> 61) END AS x
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x0
+                  FROM grams)
+        ),
+        sig AS (
+            SELECT doc_id, p.i,
+                   MIN((p.a::HUGEINT * x::HUGEINT + p.b::HUGEINT)
+                       % {p}::HUGEINT) AS s
+            FROM folded, params p
+            GROUP BY doc_id, p.i
+        ),
+        sigv AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sig
+                 GROUP BY doc_id)
+        SELECT id_a, id_b, sig_jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, {num_perm + 1}),
+                       k -> CASE WHEN a.sig[k] = b.sig[k]
+                                 THEN 1 ELSE 0 END)) / {num_perm}.0
+                       AS sig_jaccard
+            FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
+        )
+        WHERE sig_jaccard >= {threshold}
+    """
+
+
+def _bpe_piece_re_sql() -> str:
+    """BPE_PIECE_RE as a DuckDB string-literal body: single quotes
+    doubled; the control characters in the explicit whitespace classes
+    embed literally (legal inside a SQL string, matched literally by
+    RE2's char classes)."""
+    from web_scraper_ray.ops.text import BPE_PIECE_RE
+
+    return BPE_PIECE_RE.replace("'", "''")
+
 
 def _langid_sql() -> str:
     """DuckDB twin of ops/text.py:LangIdModel — substring counts via
@@ -801,12 +898,13 @@ def oracle_sql() -> dict[str, str]:
         # fingerprint = min over all 5-word-window folds.
         "fingerprints": _FINGERPRINT_SQL,
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
-        # runs under Python re (ASCII) and DuckDB RE2 (no lookahead, no
-        # unicode classes — by construction, ops/text.py:BPE_PIECE_RE)
+        # runs under Python re and DuckDB RE2 (no lookahead, no \s
+        # shorthand, explicit ASCII classes — by construction,
+        # ops/text.py:BPE_PIECE_RE, injected here verbatim)
         "token_pieces": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
-                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                        '""" + _bpe_piece_re_sql() + """'
                    )) AS BIGINT) AS n_bpe_pieces,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
                    CAST(length(text) // 4 AS BIGINT) AS est_tokens
@@ -836,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         # — each fragment is the already-verified oracle of its
         # standalone query, composed by doc_id joins
         "training_corpus": _training_corpus_sql(),
+        "minhash_exhaustive": _minhash_exhaustive_sql(),
         "quality_filter": f"""
             WITH stats AS (
                 SELECT doc_id,

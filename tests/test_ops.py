@@ -295,6 +295,90 @@ def test_planted_giant_cluster_near_dedup(ray_session):
     assert kept == [0] + list(range(10_000, 10_005))
 
 
+def test_subtract_ids_modes_agree(ray_session):
+    """The broadcast (object-store id array) and bucketed (anti-join
+    groupby — the 100-TB path where no process holds the drop set)
+    regimes of subtract_ids return identical row sets, original schema
+    intact."""
+    import ray.data
+    from web_scraper_ray.ops.dedup import subtract_ids
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}", "n_chars": 10 * i}
+            for i in range(200)]
+    drop_rows = [{"node": i} for i in range(0, 200, 3)]
+    ds = ray.data.from_items(rows)
+    want_ids = sorted(i for i in range(200) if i % 3 != 0)
+
+    outs = {}
+    for mode in ("broadcast", "bucketed"):
+        drop = ray.data.from_items(drop_rows)
+        out = subtract_ids(ds, drop, id_col="doc_id", drop_col="node",
+                           mode=mode, n_buckets=8).to_pandas()
+        assert sorted(out.columns) == ["doc_id", "n_chars", "source"]
+        outs[mode] = out.sort_values("doc_id").reset_index(drop=True)
+        assert list(outs[mode]["doc_id"]) == want_ids
+    pd.testing.assert_frame_equal(
+        outs["broadcast"][sorted(outs["broadcast"].columns)],
+        outs["bucketed"][sorted(outs["bucketed"].columns)],
+    )
+    # empty drop set: everything survives in both modes
+    for mode in ("broadcast", "bucketed"):
+        empty = ray.data.from_items([{"node": 10_000}]).filter(
+            lambda r: False
+        )
+        out = subtract_ids(ds, empty, id_col="doc_id", drop_col="node",
+                           mode=mode, n_buckets=8)
+        assert out.count() == 200
+
+
+def test_exact_dedup_bucketed_mode(docs_ds):
+    from web_scraper_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds, "text", "doc_id",
+                      subtract_mode="bucketed").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+def test_remove_near_duplicates_bucketed_mode(docs_ds):
+    from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+    kept = sorted(
+        remove_near_duplicates(
+            docs_ds, concurrency=1, subtract_mode="bucketed"
+        ).to_pandas()["doc_id"]
+    )
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept
+
+
+def test_minhash_exhaustive_md5_all_pairs(docs_ds):
+    """exhaustive=True + md5 hasher: output equals the brute-force
+    all-pairs signature agreement computed directly from the kernel."""
+    from web_scraper_ray.ops.dedup import (
+        _minhash_params, _shingle_hashes, minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    got = minhash_lsh_pairs(
+        docs_ds, num_perm=16, jaccard_threshold=0.5, hasher="md5",
+        exhaustive=True, concurrency=1,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    df = docs_ds.to_pandas()
+    a, b = _minhash_params(16, 7)
+    sigs = {int(r.doc_id): minhash_signature(
+        _shingle_hashes(r.text, 5, "md5"), a, b) for r in df.itertuples()}
+    ids = sorted(sigs)
+    want = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            est = float(np.mean(sigs[ids[x]] == sigs[ids[y]]))
+            if est >= 0.5:
+                want.append((ids[x], ids[y], est))
+    want_df = pd.DataFrame(want, columns=["id_a", "id_b", "sig_jaccard"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
 def test_fingerprint_golden_values():
     """Hash-locked golden values: the rolling-fingerprint implementation
     must never silently change (it feeds dedup blocking keys)."""

@@ -21,7 +21,11 @@ def sized_read_parquet(path: str, columns: Optional[list[str]] = None,
     overhead dominates small inputs entirely. Sizing blocks by on-disk
     bytes keeps per-task work meaningful at every scale: a 2 MB table
     gets 8 blocks, a 1 TB table gets bytes/32MB (capped at 4 tasks per
-    core, where dispatch is amortized anyway)."""
+    core, where dispatch is amortized anyway).
+
+    Paths the local filesystem cannot stat (remote URIs like s3://, or
+    a typo) fall back to Ray's own parallelism heuristic instead of
+    being silently pinned to the 8-block minimum."""
     import ray
     import ray.data
 
@@ -32,6 +36,8 @@ def sized_read_parquet(path: str, columns: Optional[list[str]] = None,
                          for f in files if f.endswith(".parquet"))
     elif os.path.exists(path):
         total = os.path.getsize(path)
+    if total == 0:
+        return ray.data.read_parquet(path, columns=columns)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
     except Exception:

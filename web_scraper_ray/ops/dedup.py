@@ -28,6 +28,125 @@ _MERSENNE = (1 << 61) - 1
 
 
 # ---------------------------------------------------------------------------
+# id-set anti-join (the shared drop-set machinery of the dedup family)
+
+@ray.remote(num_cpus=0)
+def _ids_array_task(*tables) -> np.ndarray:
+    """Concatenate id blocks into ONE sorted int64 array in the object
+    store. Runs as a Ray task so the driver never holds the set; every
+    filter task ``ray.get``\\ s it zero-copy (numpy over plasma)."""
+    parts = [t.column(0).to_numpy(zero_copy_only=False)
+             for t in tables if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+def subtract_ids(
+    ds: ray.data.Dataset,
+    drop: ray.data.Dataset,
+    id_col: str = "doc_id",
+    drop_col: str = "node",
+    mode: str = "auto",
+    n_buckets: int = 64,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Anti-join: rows of ``ds`` whose ``id_col`` does NOT appear in
+    ``drop[drop_col]`` — without the drop set ever landing on the
+    driver. Two regimes (mirroring the frontier's broadcast/bucketed
+    fetch-join split, ``crawl/frontier.py:351``):
+
+    * ``broadcast`` (drop set ≤ ``broadcast_limit``): a Ray task folds
+      the drop blocks into one sorted int64 array in the OBJECT STORE;
+      each filter task reads it zero-copy and drops matches with a
+      vectorized ``searchsorted`` — ``ds`` itself never shuffles.
+    * ``bucketed`` (web-scale drop sets, O(corpus) ids — 30-50%
+      near-dup rates): no single process ever holds the set. Corpus
+      rows and drop ids co-locate by ``id % n_buckets``; each group
+      filters its own slice. Costs one all-to-all pass over ``ds``.
+
+    ``mode='auto'`` picks by the drop set's row count (parquet/block
+    metadata — the drop Dataset is materialized either way, since both
+    sides consume it)."""
+
+    drop = drop.select_columns([drop_col]).materialize()
+    if mode == "auto":
+        mode = "broadcast" if drop.count() <= broadcast_limit else "bucketed"
+
+    if mode == "broadcast":
+        ref = _ids_array_task.remote(*drop.to_arrow_refs())
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            arr = ray.get(ref)
+            if len(arr) == 0:
+                return df
+            ids = df[id_col].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(arr, ids)
+            pos_c = np.minimum(pos, len(arr) - 1)
+            hit = arr[pos_c] == ids
+            return df.loc[~hit]
+
+        return ds.map_batches(keep, batch_format="pandas")
+
+    if mode != "bucketed":
+        raise ValueError(f"unknown subtract_ids mode: {mode}")
+
+    import pyarrow as pa
+
+    corpus_schema = ds.schema().base_schema
+
+    def tag_corpus(batch: "pa.Table") -> "pa.Table":
+        bkt = pa.array(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets,
+            pa.int64(),
+        )
+        return batch.append_column(
+            "__side", pa.array(["c"] * batch.num_rows, pa.string())
+        ).append_column("__bkt", bkt)
+
+    def tag_drop(batch: "pa.Table") -> "pa.Table":
+        ids = batch[drop_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {}
+        for field in corpus_schema:
+            if field.name == id_col:
+                cols[field.name] = pa.array(ids, field.type)
+            else:
+                cols[field.name] = pa.nulls(len(ids), field.type)
+        out = pa.table(cols)
+        return out.append_column(
+            "__side", pa.array(["d"] * len(ids), pa.string())
+        ).append_column("__bkt", pa.array(ids % n_buckets, pa.int64()))
+
+    both = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        drop.map_batches(tag_drop, batch_format="pyarrow")
+    )
+
+    # drop-side nulls promote int/bool columns to float/object when the
+    # shuffle's pandas merge runs — cast survivors back to the corpus
+    # schema so the output dtypes match the broadcast regime exactly
+    import pyarrow as pa
+
+    restore = {}
+    for field in corpus_schema:
+        if pa.types.is_integer(field.type):
+            restore[field.name] = ("int64" if not pa.types.is_unsigned_integer(
+                field.type) else "uint64")
+        elif pa.types.is_boolean(field.type):
+            restore[field.name] = "bool"
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["__side"] == "d", id_col].to_numpy(dtype=np.int64)
+        c = g.loc[g["__side"] == "c"]
+        out = c.loc[~c[id_col].isin(d)].drop(columns=["__side", "__bkt"])
+        fix = {k: v for k, v in restore.items()
+               if k in out.columns and str(out[k].dtype) != v}
+        return out.astype(fix) if fix else out
+
+    return both.groupby("__bkt").map_groups(filter_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 
 def add_md5_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
@@ -39,13 +158,24 @@ def add_md5_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id", n_buckets: int = 64) -> ray.data.Dataset:
-    """Keep the min-id row per identical content (hash-partitioned
-    shuffle on a coarse md5 bucket; first-wins == min id, matching the
-    reference's first-occurrence-wins dedup semantics,
-    ``contxt/scraper.py:462-474``)."""
-    with_hash = ds.map_batches(
-        lambda df: add_md5_batch(df, text_col), batch_format="pandas"
+                id_col: str = "doc_id", n_buckets: int = 64,
+                subtract_mode: str = "auto") -> ray.data.Dataset:
+    """Keep the min-id row per identical content (first-wins == min id,
+    matching the reference's first-occurrence-wins dedup semantics,
+    ``contxt/scraper.py:462-474``). Returns the surviving rows of
+    ``ds`` with their original schema.
+
+    Shuffle discipline: the dedup shuffle ships only
+    (id, content_md5, bucket) — document text never rides it. Losers
+    (every id that is not its content group's min) are then removed by
+    :func:`subtract_ids`, which broadcasts small loser sets through
+    the object store and falls back to a bucketed anti-join when the
+    loser set is corpus-sized. ``ds`` is consumed twice (hash pass +
+    filter pass) — pass a re-readable source (e.g. a parquet read),
+    not an expensive unmaterialized pipeline."""
+    slim = ds.select_columns([id_col, text_col]).map_batches(
+        lambda df: add_md5_batch(df, text_col).drop(columns=[text_col]),
+        batch_format="pandas",
     )
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -53,24 +183,52 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         df["bucket"] = df["content_md5"].map(lambda h: int(h[:8], 16) % n_buckets)
         return df
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    def losers_in_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_md5", id_col], kind="mergesort")
-        return g.drop_duplicates(subset=["content_md5"], keep="first").drop(
-            columns=["bucket"]
-        )
+        lose = g.duplicated(subset=["content_md5"], keep="first")
+        return g.loc[lose, [id_col]]
 
-    return (
-        with_hash.map_batches(add_bucket, batch_format="pandas")
+    losers = (
+        slim.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(losers_in_group, batch_format="pandas")
     )
+    return subtract_ids(ds, losers, id_col=id_col, drop_col=id_col,
+                        mode=subtract_mode, n_buckets=n_buckets)
 
 
 # ---------------------------------------------------------------------------
 # shingles + MinHash
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hash set (uint64) of a document."""
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _shingle_hashes(text: str, k: int = 5, hasher: str = "blake2b") -> np.ndarray:
+    """Character k-shingle hash set (uint64) of a document.
+
+    ``hasher='blake2b'`` (default): fast 8-byte blake2b, whitespace
+    normalized via ``str.split`` — the production path.
+    ``hasher='md5'``: md5 upper half with explicit-ASCII whitespace
+    normalization — every decision DuckDB can replay exactly
+    (``('0x' || substr(md5(g),1,16))::UBIGINT`` over
+    ``trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')``
+    substrings), which is what makes the ``minhash_exhaustive`` query
+    SQL-oracle-checkable bit for bit (the simhash64 trick)."""
+    if hasher == "md5":
+        t = _ASCII_WS.sub(" ", text).strip(" ")
+        if len(t) < k:
+            t = t + " " * (k - len(t))
+        views = {t[i : i + k] for i in range(len(t) - k + 1)}
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in views
+            ),
+            dtype=np.uint64,
+            count=len(views),
+        )
     t = " ".join(text.split())  # normalize whitespace
     if len(t) < k:
         t = t + " " * (k - len(t))
@@ -129,17 +287,90 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return np.minimum.reduce(total, axis=1).astype(np.uint64)
 
 
+def _attach_pair_payloads(
+    pairs: ray.data.Dataset,
+    payloads: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    n_join_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Attach a per-id payload (signature, embedding, …) to BOTH halves
+    of a deduplicated candidate-pair set, payloads crossing the wire
+    exactly once, keyed by id bucket. Input: ``pairs`` (id_a, id_b) and
+    ``payloads`` (id_col, payload_col). Output: two rows per pair —
+    (id_a, id_b, role∈{a,b}, payload) — ready for a pair-bucket verify
+    groupby. This is the shuffle-discipline core of the dedup family:
+    the wide per-id payload never rides a per-band/per-probe explode,
+    only this single join against the (≪ corpus) pair set."""
+
+    def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": pd.Series(
+                    np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
+                    if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "id_a": pd.Series(np.tile(df["id_a"].to_numpy(), 2)
+                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "id_b": pd.Series(np.tile(df["id_b"].to_numpy(), 2)
+                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
+                "role": pd.Series(["a"] * n + ["b"] * n, dtype="object"),
+                payload_col: pd.Series([None] * (2 * n), dtype="object"),
+            }
+        )
+
+    def payload_side(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        # plain Python lists, never ndarrays: an object column of
+        # ndarrays would be auto-promoted to Ray's TensorArray block
+        # type, which cannot concat with the halves' all-None column
+        # during the shuffle's sorted merge
+        vals = [v.tolist() if hasattr(v, "tolist") else v
+                for v in df[payload_col]]
+        return pd.DataFrame(
+            {
+                "key": pd.Series(df[id_col].to_numpy(), dtype="int64"),
+                "id_a": pd.Series(np.full(n, -1), dtype="int64"),
+                "id_b": pd.Series(np.full(n, -1), dtype="int64"),
+                "role": pd.Series(["s"] * n, dtype="object"),
+                payload_col: pd.Series(vals, dtype="object"),
+            }
+        )
+
+    def add_jbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jbucket"] = df["key"] % n_join_buckets
+        return df
+
+    joined_src = (
+        pairs.map_batches(pair_halves, batch_format="pandas")
+        .union(payloads.map_batches(payload_side, batch_format="pandas"))
+        .map_batches(add_jbucket, batch_format="pandas")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        srows = g.loc[g["role"] == "s", ["key", payload_col]]
+        halves = g.loc[g["role"] != "s", ["key", "id_a", "id_b", "role"]]
+        m = halves.merge(srows, on="key", how="inner")
+        return m[["id_a", "id_b", "role", payload_col]]
+
+    return joined_src.groupby("jbucket").map_groups(attach, batch_format="pandas")
+
+
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
+                 hasher: str = "blake2b"):
         self.a, self.b = _minhash_params(num_perm, seed)
         self.k = shingle_k
         self.num_perm = num_perm
+        self.hasher = hasher
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [
-            minhash_signature(_shingle_hashes(t, self.k), self.a, self.b)
+            minhash_signature(_shingle_hashes(t, self.k, self.hasher),
+                              self.a, self.b)
             for t in df["text"].fillna("")
         ]
         out = df.drop(columns=["text"]).copy()
@@ -158,6 +389,8 @@ def minhash_lsh_pairs(
     concurrency: int = 4,
     star_bucket_threshold: int = 256,
     n_join_buckets: int = 64,
+    hasher: str = "blake2b",
+    exhaustive: bool = False,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-dup candidate pairs with exact signature-level
     Jaccard verification. Returns (id_a, id_b, sig_jaccard) with
@@ -185,8 +418,19 @@ def minhash_lsh_pairs(
     member reachable from the representative; pair *listing* recall
     beyond the star relies on the other bands. Sandbox corpora never
     hit the cap, so outputs are unchanged vs the all-pairs reference.
+
+    ``exhaustive=True`` replaces the band explode with ONE global
+    bucket (every pair becomes a candidate; the star guard is
+    disabled): the signature kernel, dedup, join and verification
+    machinery run unchanged, but the output is exactly the all-pairs
+    signature-agreement set — which, with ``hasher='md5'``, a SQL
+    oracle can replay end to end (the ``similarity_ivf_exhaustive``
+    pinning trick applied to minhash). Small-scale only: O(n²)
+    candidates.
     """
     rows_per_band = num_perm // bands
+    if exhaustive:
+        star_bucket_threshold = 1 << 62
     if text_col != "text":
         ds = ds.map_batches(
             lambda df: df.rename(columns={text_col: "text"}), batch_format="pandas"
@@ -198,12 +442,19 @@ def minhash_lsh_pairs(
     # every document. Signatures are compact (num_perm × 8 B per doc),
     # so the pin is cheap and spillable.
     sigs = ds.select_columns([id_col, "text"]).map_batches(
-        MinHasher(num_perm, shingle_k),
+        MinHasher(num_perm, shingle_k, hasher=hasher),
         batch_format="pandas",
         concurrency=concurrency,
     ).materialize()
 
     def explode_slim(df: pd.DataFrame) -> pd.DataFrame:
+        if exhaustive:
+            # one global bucket: every doc a member, all pairs candidates
+            return pd.DataFrame(
+                {id_col: pd.Series(df[id_col].to_numpy(), dtype="int64"),
+                 "band": pd.Series(np.zeros(len(df)), dtype="int64"),
+                 "band_key": pd.Series(np.zeros(len(df)), dtype="uint64")}
+            )
         ids_out, bnds_out, keys_out = [], [], []
         for i, sig in zip(df[id_col].tolist(), df["signature"].tolist()):
             for b in range(bands):
@@ -291,54 +542,9 @@ def minhash_lsh_pairs(
     )
 
     # --- signature join: sigs move ONCE, keyed by id bucket -------------
-    def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        return pd.DataFrame(
-            {
-                "key": pd.Series(
-                    np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
-                    if n else np.empty(0, dtype=np.int64), dtype="int64"),
-                "id_a": pd.Series(np.tile(df["id_a"].to_numpy(), 2)
-                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
-                "id_b": pd.Series(np.tile(df["id_b"].to_numpy(), 2)
-                                  if n else np.empty(0, dtype=np.int64), dtype="int64"),
-                "role": pd.Series(["a"] * n + ["b"] * n, dtype="object"),
-                "signature": pd.Series([None] * (2 * n), dtype="object"),
-            }
-        )
-
-    def sig_side(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        return pd.DataFrame(
-            {
-                "key": pd.Series(df[id_col].to_numpy(), dtype="int64"),
-                "id_a": pd.Series(np.full(n, -1), dtype="int64"),
-                "id_b": pd.Series(np.full(n, -1), dtype="int64"),
-                "role": pd.Series(["s"] * n, dtype="object"),
-                "signature": pd.Series(df["signature"].tolist(), dtype="object"),
-            }
-        )
-
-    def add_jbucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["jbucket"] = df["key"] % n_join_buckets
-        return df
-
-    joined_src = (
-        uniq.map_batches(pair_halves, batch_format="pandas")
-        .union(sigs.select_columns([id_col, "signature"]).map_batches(
-            sig_side, batch_format="pandas"))
-        .map_batches(add_jbucket, batch_format="pandas")
-    )
-
-    def attach_sig(g: pd.DataFrame) -> pd.DataFrame:
-        srows = g.loc[g["role"] == "s", ["key", "signature"]]
-        halves = g.loc[g["role"] != "s", ["key", "id_a", "id_b", "role"]]
-        m = halves.merge(srows, on="key", how="inner")
-        return m[["id_a", "id_b", "role", "signature"]]
-
-    halves_with_sig = joined_src.groupby("jbucket").map_groups(
-        attach_sig, batch_format="pandas"
+    halves_with_sig = _attach_pair_payloads(
+        uniq, sigs.select_columns([id_col, "signature"]), id_col,
+        "signature", n_join_buckets,
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -578,11 +784,12 @@ def remove_near_duplicates(
     min-label components (:func:`components_min_label` — no driver
     union-find, no ``to_pandas`` of the pair set) → keep only each
     cluster's representative (min id) plus all unclustered docs. The
-    broadcast drop-set is cluster members minus reps (≪ corpus, and
-    built from the already-reduced components table); the corpus itself
-    is only filtered, never shuffled."""
-    import ray
-
+    drop set (cluster members minus reps) stays a Dataset end to end
+    and is removed via :func:`subtract_ids`: object-store broadcast
+    while it is small, bucketed anti-join once it is corpus-sized
+    (web-scale near-dup rates are 30-50%, so at 100 TB the drop set is
+    O(corpus) ids — no process may hold it)."""
+    subtract_mode = minhash_kwargs.pop("subtract_mode", "auto")
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
                               jaccard_threshold=jaccard_threshold,
                               **minhash_kwargs)
@@ -591,17 +798,9 @@ def remove_near_duplicates(
     def non_reps(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["node"] != df["label"], ["node"]]
 
-    drop = frozenset(
-        r["node"]
-        for r in comp.map_batches(non_reps, batch_format="pandas").take_all()
-    )
-    drop_ref = ray.put(drop)
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(drop_ref)
-        return df.loc[~df[id_col].isin(d)]
-
-    return ds.map_batches(keep, batch_format="pandas")
+    drop = comp.map_batches(non_reps, batch_format="pandas")
+    return subtract_ids(ds, drop, id_col=id_col, drop_col="node",
+                        mode=subtract_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -826,6 +1025,7 @@ def embedding_dup_pairs(
     seed: int = 11,
     exact: bool = False,
     multi_probe: bool = True,
+    star_bucket_threshold: int = 4096,
 ) -> ray.data.Dataset:
     """Near-duplicate vectors by cosine ≥ threshold. Blocking: seeded
     random-hyperplane LSH sign-bucket with MULTI-PROBE — each vector is
@@ -838,16 +1038,58 @@ def embedding_dup_pairs(
 
     ``exact=True`` disables blocking (every vector in one group): full
     O(n²) comparison — the SQL-oracle-checkable baseline, viable only
-    when the vector table is small/sampled."""
+    when the vector table is small/sampled.
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        n = len(df)
-        if exact:
+    Shuffle discipline (the 100-TB budget, same as
+    :func:`minhash_lsh_pairs`): the multi-probe explode ships only
+    (id, bkt) — two int64 columns — never the vector. Vectors cross
+    the wire exactly once, via the id-bucketed
+    :func:`_attach_pair_payloads` join against the deduplicated
+    candidate pair set, where the exact float64 cosine is verified.
+    (A per-probe vector explode would move (n_planes+1)× the vector
+    bytes — 9× 8 KB per 1024-dim embedding — through the groupby.)"""
+
+    if exact:
+        def one_group(df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
             out = df[[id_col]].copy()
             out["bkt"] = 0  # one global group; skip the LSH entirely
             out["vec"] = [v.tolist() for v in mat]
             return out
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack([np.asarray(v) for v in g["vec"]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            sims = unit @ unit.T
+            ids = list(g[id_col])
+            a_ids, b_ids, cs = [], [], []
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if sims[i, j] >= threshold:
+                        a, b = sorted((ids[i], ids[j]))
+                        a_ids.append(a)
+                        b_ids.append(b)
+                        cs.append(float(sims[i, j]))
+            return pd.DataFrame(
+                {"id_a": pd.Series(a_ids, dtype="int64"),
+                 "id_b": pd.Series(b_ids, dtype="int64"),
+                 "cosine": pd.Series(cs, dtype="float64")}
+            )
+
+        return (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(one_group, batch_format="pandas")
+            .groupby("bkt")
+            .map_groups(pairs, batch_format="pandas")
+        )
+
+    vecs = ds.select_columns([id_col, vec_col]).materialize()
+
+    def bucketize_slim(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         dim = mat.shape[1]
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((dim, n_planes))
@@ -862,46 +1104,41 @@ def embedding_dup_pairs(
             # flipping any single plane probes that Hamming-1 bucket
             probes += [base ^ np.int64(1 << k) for k in range(n_planes)]
         reps = len(probes)
-        vecs = [v.tolist() for v in mat]
         return pd.DataFrame(
             {id_col: pd.Series(np.tile(df[id_col].to_numpy(), reps)),
-             "bkt": pd.Series(np.concatenate(probes), dtype="int64"),
-             "vec": pd.Series(vecs * reps, dtype="object")}
+             "bkt": pd.Series(np.concatenate(probes), dtype="int64")}
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack([np.asarray(v) for v in g["vec"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        sims = unit @ unit.T
-        ids = list(g[id_col])
-        a_ids, b_ids, cs = [], [], []
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_ids.append(a)
-                    b_ids.append(b)
-                    cs.append(float(sims[i, j]))
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        if n > star_bucket_threshold:
+            # skew guard (same trade as minhash_lsh_pairs): a bucket
+            # this large would emit O(n²) candidates; star to the min
+            # id — members stay reachable from the representative
+            return pd.DataFrame(
+                {"id_a": pd.Series(np.full(n - 1, ids[0]), dtype="int64"),
+                 "id_b": pd.Series(ids[1:], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(n, 1)
         return pd.DataFrame(
-            {"id_a": pd.Series(a_ids, dtype="int64"),
-             "id_b": pd.Series(b_ids, dtype="int64"),
-             "cosine": pd.Series(cs, dtype="float64")}
+            {"id_a": pd.Series(ids[ia], dtype="int64"),
+             "id_b": pd.Series(ids[ib], dtype="int64")}
         )
 
     cand = (
-        ds.select_columns([id_col, vec_col])
-        .map_batches(bucketize, batch_format="pandas")
+        vecs.map_batches(bucketize_slim, batch_format="pandas")
         .groupby("bkt")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(cand_pairs, batch_format="pandas")
     )
-    if exact:
-        return cand  # one global bucket → no cross-bucket duplicates
 
-    # multi-probe: the same pair can surface from several probed
-    # buckets → global dedup on the pair key
+    # multi-probe: the same pair surfaces from several probed buckets →
+    # global dedup on the pair key BEFORE vectors are attached
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["pbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % 16
@@ -912,8 +1149,44 @@ def embedding_dup_pairs(
             subset=["id_a", "id_b"]
         ).drop(columns=["pbucket"])
 
-    return (
+    uniq = (
         cand.map_batches(pair_bucket, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(dedup, batch_format="pandas")
+    )
+
+    halves = _attach_pair_payloads(uniq, vecs, id_col, vec_col, 16)
+
+    def verify_cosine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_a", "id_b", "role"], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        a, b = mat[0::2], mat[1::2]
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": pd.Series(g["id_a"].to_numpy()[0::2][keep], dtype="int64"),
+             "id_b": pd.Series(g["id_b"].to_numpy()[0::2][keep], dtype="int64"),
+             "cosine": pd.Series(cos[keep], dtype="float64")}
+        )
+
+    def vbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vbucket"] = (df["id_a"] * 1_000_003 + df["id_b"]) % 16
+        return df
+
+    return (
+        halves.map_batches(vbucket, batch_format="pandas")
+        .groupby("vbucket")
+        .map_groups(lambda g: verify_cosine(g.drop(columns=["vbucket"])),
+                    batch_format="pandas")
     )

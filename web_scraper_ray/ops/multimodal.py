@@ -35,7 +35,7 @@ MEDIA_SCHEMA = pa.schema(
 
 def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows for plumbing tests (payload bytes
-    derived from blake2b of the id — no external data)."""
+    derived from md5 of ``seed:id`` — no external data)."""
     kinds = ["image", "audio", "video"]
     rows = {name: [] for name in MEDIA_SCHEMA.names}
     for i in range(n):

@@ -47,10 +47,14 @@ def hash_sample(
     """Keep each row iff ``hash(seed:key) < rate * 2^64`` — a
     deterministic Bernoulli(rate) sample stratified by nothing but the
     key hash. Pure map_batches filter: no shuffle, no materialization,
-    stable under re-runs and corpus growth."""
+    stable under re-runs and corpus growth. ``rate >= 1`` is exact:
+    the dataset is returned unchanged (no clamped-threshold boundary
+    where a key hashing to 2^64-1 would be dropped)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    threshold = np.uint64(min(int(rate * _SCALE), (1 << 64) - 1))
+    if rate >= 1.0:
+        return ds
+    threshold = np.uint64(int(rate * _SCALE))
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[_key_hash(df[key_col], seed) < threshold]

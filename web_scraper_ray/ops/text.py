@@ -98,9 +98,13 @@ def quality_filter(ds, **mask_kwargs) -> "ray.data.Dataset":
 #: BPE-style pretokenizer (GPT-2's pattern, adapted): contraction
 #: suffixes, space-prefixed letter/digit/symbol runs, whitespace runs.
 #: Deliberately ASCII classes and NO lookahead — the exact same pattern
-#: string runs under Python re (re.ASCII) and DuckDB's RE2, so piece
-#: counts are SQL-oracle-checkable (verified match on the full corpus).
-BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+#: string runs under Python re and DuckDB's RE2, so piece counts are
+#: SQL-oracle-checkable (verified match on the full corpus). The
+#: whitespace class is spelled out as [ \t\n\r\f\v] rather than \s:
+#: Python's ASCII \s includes vertical tab, RE2's does not, so the
+#: shorthand would silently diverge on any document containing \v.
+BPE_PIECE_RE = ("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+                "| ?[^ \t\n\r\f\vA-Za-z0-9]+|[ \t\n\r\f\v]+")
 
 
 def token_pieces_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
