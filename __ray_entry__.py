@@ -445,6 +445,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = load_crawl_order(ckpt)
         return df[["round", "url", "host", "vt", "priority"]]
 
+    def q_crawl_round0(sf_dir: str):
+        # round 0 of the real frontier engine (max_depth=0: seeds →
+        # validity/canonicalize/ignore/robots → fused bucket admission
+        # with in-round dedup and per-host virtual-time politeness) on
+        # a FIXED-PATH synthetic corpus, so the politeness arithmetic
+        # sits under the driver's hash check: the SQL oracle replays
+        # the whole round over the same seeds/robots parquet
+        # (iterative rounds ≥1 are not SQL-expressible and stay under
+        # the sequential-model parity tests)
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _round0_corpus()
+        ckpt = "/tmp/wsr_round0_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(max_depth=0, seen_shards=2),
+        )
+        df = load_crawl_order(ckpt)
+        return df[["round", "url", "host", "vt", "priority"]]
+
     def q_extraction(sf_dir: str):
         from web_scraper_ray.pipelines.flagship import extract_pipeline
 
@@ -458,6 +485,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         corpus = _corpus_for(sf_dir)
         return verify_pipeline(f"{corpus}/pages")
+
+    def _q_render(sf_dir: str, format_type: str):
+        # formatter family (M15-M18) under the driver check: the full
+        # extraction kernel feeds FormatStage (actor-pool rendering of
+        # the reference's formatter.format per record) and the rendered
+        # string is emitted as a column — deterministic rows the driver
+        # can count/hash (rows-only: string rendering is not
+        # SQL-expressible; byte-level goldens live in pytest)
+        from web_scraper_ray.formatters import FormatStage
+        from web_scraper_ray.pipelines.flagship import extract_pipeline
+
+        corpus = _corpus_for(sf_dir)
+        out = extract_pipeline(f"{corpus}/pages").map_batches(
+            FormatStage,
+            batch_format="pandas",
+            concurrency=2,
+            fn_constructor_kwargs={"format_type": format_type},
+        )
+        return out.select_columns(["url", "title", "format", "formatted"])
+
+    def q_render_markdown(sf_dir: str):
+        return _q_render(sf_dir, "markdown")
+
+    def q_render_xml(sf_dir: str):
+        return _q_render(sf_dir, "xml")
+
+    def q_render_html(sf_dir: str):
+        return _q_render(sf_dir, "raw")
 
     def q_media_features(sf_dir: str):
         import pandas as pd
@@ -514,14 +569,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "crawl_order": q_crawl_order,
+        "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
         "extraction_parity": q_extraction_parity,
+        "render_markdown": q_render_markdown,
+        "render_xml": q_render_xml,
+        "render_html": q_render_html,
         "media_features": q_media_features,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
+
+def _round0_corpus() -> str:
+    """The fixed-path synthetic corpus shared by q_crawl_round0 and its
+    SQL oracle. Parameters are pinned (not derived from sf_dir): round 0
+    depends only on seeds + robots, which build_corpus generates
+    deterministically and caches behind a _DONE stamp — so the query
+    and the oracle see identical inputs regardless of call order."""
+    from web_scraper_ray.corpus import build_corpus
+
+    out = "/tmp/wsr_corpus_round0"
+    build_corpus(out, n_pages=400, n_hosts=24, seed=42, n_seeds=40,
+                 links_per_page=6, use_ray=False)
+    return out
+
+
+def _crawl_round0_sql() -> str:
+    """DuckDB twin of frontier round 0 (crawl/frontier.py:
+    _seed_candidates → _admit): URL validity (scheme://netloc),
+    canonicalization (lowercase scheme+host, strip default port, empty
+    path → '/'; seeds carry no fragments/queries so the remaining rules
+    are vacuous here), ignore-pattern substring filter, robots disallow
+    prefixes, first-seed-wins dedup (min seed_index — the _DEDUP_SORT
+    key with all parent fields tied), and per-host virtual time
+    vt = k * crawl_delay_ms with k the rank under
+    (priority, pvt, pli, url) — bases are zero in round 0."""
+    corpus = _round0_corpus()
+    return f"""
+        WITH seeds AS (
+            SELECT seed_index, url
+            FROM read_parquet('{corpus}/seeds.parquet')
+        ),
+        robots AS (
+            SELECT host, disallow_prefixes,
+                   COALESCE(crawl_delay_ms, 100) AS delay_ms
+            FROM read_parquet('{corpus}/robots.parquet')
+        ),
+        valid AS (
+            SELECT seed_index,
+                   lower(split_part(url, '://', 1)) AS scheme,
+                   lower(split_part(split_part(url, '://', 2), '/', 1))
+                       AS netloc0,
+                   regexp_extract(url, '^[^:]+://[^/]*(/.*)?$', 1) AS path0
+            FROM seeds
+            WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]')
+        ),
+        canon AS (
+            SELECT seed_index,
+                   CASE WHEN scheme = 'http' AND netloc0 LIKE '%:80'
+                        THEN netloc0[1:-4]
+                        WHEN scheme = 'https' AND netloc0 LIKE '%:443'
+                        THEN netloc0[1:-5]
+                        ELSE netloc0 END AS host,
+                   CASE WHEN path0 IS NULL OR path0 = '' THEN '/'
+                        ELSE path0 END AS path,
+                   scheme
+            FROM valid
+        ),
+        screened AS (
+            SELECT c.seed_index,
+                   c.scheme || '://' || c.host || c.path AS url,
+                   c.host, c.path, r.delay_ms
+            FROM canon c
+            LEFT JOIN robots r USING (host)
+            WHERE NOT contains(c.scheme || '://' || c.host || c.path,
+                               '/tags/')
+              AND NOT contains(c.scheme || '://' || c.host || c.path,
+                               '/categories/')
+              AND (r.disallow_prefixes IS NULL OR
+                   len(list_filter(r.disallow_prefixes,
+                                   p -> starts_with(c.path, p))) = 0)
+        ),
+        deduped AS (
+            SELECT url, host,
+                   MIN(seed_index) AS pli,
+                   any_value(delay_ms) AS delay_ms
+            FROM screened
+            GROUP BY url, host
+        )
+        SELECT CAST(0 AS BIGINT) AS round, url, host,
+               CAST((row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY pli, url
+               ) - 1) * delay_ms AS DOUBLE) AS vt,
+               CAST(0 AS BIGINT) AS priority
+        FROM deduped
+    """
+
 
 def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
     """DuckDB twin of ops/dedup.py:minhash_lsh_pairs(hasher='md5',
@@ -935,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         # standalone query, composed by doc_id joins
         "training_corpus": _training_corpus_sql(),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
+        "crawl_round0": _crawl_round0_sql(),
         "quality_filter": f"""
             WITH stats AS (
                 SELECT doc_id,
