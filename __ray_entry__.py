@@ -514,6 +514,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_render_html(sf_dir: str):
         return _q_render(sf_dir, "raw")
 
+    def q_file_names(sf_dir: str):
+        # K1 file-sink naming rules (outputs.py:90-127 precedence via
+        # sinks.derive_filename → domain_path_filename → sanitize) over
+        # the fixed-path synthetic corpus urls, replayed string-op for
+        # string-op by the SQL oracle (the blake2b uniqueness suffix is
+        # deliberately off — not SQL-replayable; pytest covers it)
+        import pandas as pd
+        import ray.data
+        from web_scraper_ray.sinks import derive_filename
+
+        corpus = _round0_corpus()
+        ds = sized_read_parquet(f"{corpus}/pages", columns=["url"])
+
+        def names(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["filename"] = [
+                derive_filename(source=u, extension="md") for u in df["url"]
+            ]
+            return out
+
+        return ds.map_batches(names, batch_format="pandas")
+
     def q_media_features(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -572,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
         "extraction_parity": q_extraction_parity,
+        "file_names": q_file_names,
         "render_markdown": q_render_markdown,
         "render_xml": q_render_xml,
         "render_html": q_render_html,
@@ -666,6 +689,41 @@ def _crawl_round0_sql() -> str:
                ) - 1) * delay_ms AS DOUBLE) AS vt,
                CAST(0 AS BIGINT) AS priority
         FROM deduped
+    """
+
+
+def _file_names_sql() -> str:
+    """DuckDB twin of sinks.derive_filename(source=url, extension='md')
+    for the source-only precedence branch: domain_path_filename
+    (netloc + '_' + path with '/'→'_', rstrip('/'), empty → 'index',
+    lstrip('_')) then sanitize_filename (drop [\\/*?:"<>|], whitespace
+    runs → '_', cap 100 chars) then the '.md' extension append."""
+    corpus = _round0_corpus()
+    return f"""
+        WITH pages AS (
+            SELECT url FROM read_parquet('{corpus}/pages/*.parquet')
+        ),
+        parts AS (
+            SELECT url,
+                   split_part(url, '/', 3) AS domain,
+                   rtrim(regexp_extract(url, '^[^:]+://[^/]*(/.*)?$', 1),
+                         '/') AS path0
+            FROM pages
+        ),
+        named AS (
+            SELECT url,
+                   domain || '_' ||
+                   CASE WHEN path0 = '' OR path0 IS NULL THEN 'index'
+                        ELSE ltrim(replace(path0, '/', '_'), '_') END
+                       AS fn
+            FROM parts
+        )
+        SELECT url,
+               substr(regexp_replace(
+                          regexp_replace(fn, '[\\\\/*?:"<>|]', '', 'g'),
+                          '[ \t\n\r\f\v]+', '_', 'g'),
+                      1, 100) || '.md' AS filename
+        FROM named
     """
 
 
@@ -1082,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus": _training_corpus_sql(),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "crawl_round0": _crawl_round0_sql(),
+        "file_names": _file_names_sql(),
         "quality_filter": f"""
             WITH stats AS (
                 SELECT doc_id,

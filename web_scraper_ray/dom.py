@@ -156,17 +156,27 @@ class Node:
     def get_text(self, separator: str = "", strip: bool = False) -> str:
         """bs4 ``get_text``: join descendant strings (comments excluded —
         bs4's ``.strings`` skips non-plain NavigableString subclasses for
-        text extraction via ``_all_strings`` default types)."""
+        text extraction via ``_all_strings`` default types).
+
+        Hot path (called ~35×/page by the cleaning kernel): inline
+        explicit-stack preorder walk — the ``strings()`` generator
+        costs ~1.4 µs/node in pure yield overhead at this call volume."""
         parts = []
-        for t in self.strings():
-            if isinstance(t, CommentNode):
-                continue
-            s = t.text
-            if strip:
-                s = s.strip()
-                if not s:
-                    continue
-            parts.append(s)
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        push = stack.extend
+        while stack:
+            node = pop()
+            cls = node.__class__
+            if cls is TextNode:
+                s = node.text
+                if strip:
+                    s = s.strip()
+                    if not s:
+                        continue
+                parts.append(s)
+            elif cls is not CommentNode:  # element: descend
+                push(reversed(node.children))
         return separator.join(parts)
 
     # -- search -----------------------------------------------------------
@@ -197,21 +207,60 @@ class Node:
                  limit: Optional[int] = None) -> list:
         """Subset of bs4 find_all. ``string=True`` returns text nodes
         (including comments, like bs4 ``find_all(string=True)``).
-        ``name=True`` matches every element (bs4 ``find_all(True)``)."""
+        ``name=True`` matches every element (bs4 ``find_all(True)``).
+
+        Hot path (~19×/page, visiting ~1k nodes each): explicit-stack
+        preorder walk instead of the ``descendants()`` generator, with
+        the dominant call shape — plain string tag name, no attrs —
+        matched inline rather than through ``_matches``."""
         out: list = []
-        it: Iterator[AnyNode]
-        it = self.descendants() if recursive else iter(self.children)
-        for node in it:
-            if string is not None:
-                if isinstance(node, TextNode):
+        if not recursive:
+            for node in self.children:
+                if string is not None:
+                    if isinstance(node, TextNode):
+                        out.append(node)
+                elif isinstance(node, Node):
+                    if name is True or self._matches(node, name, attrs):
+                        out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+            return out
+        want_text = string is not None
+        simple = member = False
+        if not want_text and name is not True and not attrs:
+            if isinstance(name, str):
+                simple = True
+            elif isinstance(name, (list, tuple, set, frozenset)):
+                member = True
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        push = stack.extend
+        while stack:
+            node = pop()
+            if isinstance(node, TextNode):
+                if want_text:
                     out.append(node)
-            elif isinstance(node, Node):
-                if name is True:
+                    if limit is not None and len(out) >= limit:
+                        break
+                continue
+            # element
+            if simple:
+                if node.name == name:
                     out.append(node)
-                elif self._matches(node, name, attrs):
+                    if limit is not None and len(out) >= limit:
+                        break
+            elif member:
+                if node.name in name:
                     out.append(node)
-            if limit is not None and len(out) >= limit:
-                break
+                    if limit is not None and len(out) >= limit:
+                        break
+            elif not want_text and (
+                name is True or self._matches(node, name, attrs)
+            ):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+            push(reversed(node.children))
         return out
 
     def find(self, name=None, attrs: Optional[dict] = None,
@@ -282,7 +331,9 @@ def _serialize_into(node: AnyNode, out: list[str], root: bool = False) -> None:
             continue
         is_root = is_root_slot and cur.name == ROOT_NAME
         if not is_root:
-            attrs = "".join(
+            # most nodes carry no attributes after cleaning — skip the
+            # generator-join entirely for them (hot path)
+            attrs = "" if not cur.attrs else "".join(
                 f" {k}" if v is None else f' {k}="{escape_attr(v)}"'
                 for k, v in cur.attrs.items()
             )
@@ -351,13 +402,14 @@ class _TreeBuilder(HTMLParser):
         return {k: (v if v is not None else "") for k, v in attrs}
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        node = Node(tag, self._attr_dict(attrs))
+        # attr-less tags (the majority) skip the normalizing dict build
+        node = Node(tag, self._attr_dict(attrs) if attrs else None)
         self.stack[-1].append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        node = Node(tag, self._attr_dict(attrs))
+        node = Node(tag, self._attr_dict(attrs) if attrs else None)
         self.stack[-1].append(node)
 
     def handle_endtag(self, tag: str) -> None:

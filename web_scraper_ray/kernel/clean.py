@@ -80,9 +80,44 @@ def _prune_attrs(doc: Node) -> None:
 def deduplicate_list_items(doc: Node) -> None:
     """Two-phase ``<li>`` dedup on ``get_text(strip=True)``, first
     occurrence in document order wins (``scraper.py:345-363``)."""
+    _dedup_lis(doc.find_all("li"))
+
+
+def concatenate_spans(doc: Node) -> None:
+    """Merge adjacent sibling ``<span>`` pairs into the *second* span and
+    drop the first (``scraper.py:365-405``). Adjacency is over the raw
+    child list — an intervening text node (even whitespace) breaks it,
+    exactly as in the reference. Chained runs fold left-to-right because
+    the merged text is written into the next span before it is visited.
+
+    Reference shape note: ``find_all(lambda tag: tag.find('span'))`` —
+    every element with a span DESCENDANT, in document order
+    (scraper.py:371). A literal port rescans descendants per element
+    (O(n²)); ``_concat_spans_from`` instead climbs each span's ancestor
+    chain and emits the same set in one document-order pass — identical
+    result, linear time."""
+    _concat_spans_from(doc, doc.find_all("span"))
+
+
+def normalize_text_nodes(doc: Node) -> None:
+    """Strip inline ``<svg…</svg>`` remnants and collapse whitespace in
+    every text node (``scraper.py:305-320``)."""
+    text_nodes = list(doc.find_all(string=True))
+    for node in text_nodes:
+        if node.parent is not None and not isinstance(node, CommentNode):
+            if node.string:
+                cleaned = _SVG_RE.sub("", node.string)
+                cleaned = _WS_RE.sub(" ", cleaned).strip()
+                if cleaned != node.string:
+                    node.replace_with(cleaned)
+
+
+def _dedup_lis(lis: list[Node]) -> None:
+    """The two-phase loop of :func:`deduplicate_list_items` over an
+    already-collected document-order li list."""
     seen: set[str] = set()
     to_remove = []
-    for li in doc.find_all("li"):
+    for li in lis:
         text = li.get_text(strip=True)
         if text in seen:
             to_remove.append(li)
@@ -92,19 +127,13 @@ def deduplicate_list_items(doc: Node) -> None:
         li.decompose()
 
 
-def concatenate_spans(doc: Node) -> None:
-    """Merge adjacent sibling ``<span>`` pairs into the *second* span and
-    drop the first (``scraper.py:365-405``). Adjacency is over the raw
-    child list — an intervening text node (even whitespace) breaks it,
-    exactly as in the reference. Chained runs fold left-to-right because
-    the merged text is written into the next span before it is visited."""
-    # reference: find_all(lambda tag: tag.find('span')) — every element
-    # with a span DESCENDANT, in document order (scraper.py:371). A
-    # literal port rescans descendants per element (O(n^2)); instead
-    # collect each span's ancestor chain and emit the same set in one
-    # document-order pass — identical result, linear time.
+def _concat_spans_from(doc: Node, spans: list[Node]) -> None:
+    """:func:`concatenate_spans` body over a pre-collected span list.
+    Spans inside since-removed subtrees are harmless: their ancestor
+    chains end at detached nodes, and the live-tree ``descendants``
+    filter below drops those — identical to collecting after removal."""
     ancestor_set: set[int] = set()
-    for span in doc.find_all("span"):
+    for span in spans:
         node = span.parent
         while node is not None and node.name != "[document]":
             ancestor_set.add(id(node))
@@ -136,27 +165,52 @@ def concatenate_spans(doc: Node) -> None:
             span.decompose()
 
 
-def normalize_text_nodes(doc: Node) -> None:
-    """Strip inline ``<svg…</svg>`` remnants and collapse whitespace in
-    every text node (``scraper.py:305-320``)."""
-    text_nodes = list(doc.find_all(string=True))
-    for node in text_nodes:
-        if node.parent is not None and not isinstance(node, CommentNode):
-            if node.string:
-                cleaned = _SVG_RE.sub("", node.string)
-                cleaned = _WS_RE.sub(" ", cleaned).strip()
-                if cleaned != node.string:
-                    node.replace_with(cleaned)
-
-
 def clean_document(doc: Node) -> Tuple[Node, dict]:
-    """Run the full cleaning pipeline in place; returns ``(doc, og)``."""
+    """Run the full cleaning pipeline in place; returns ``(doc, og)``.
+
+    Steps 3-6 share ONE preorder walk of the post-boilerplate tree
+    (the hot path runs ~1k nodes/page × 4 separate scans otherwise):
+    comments, li and span elements are collected and attrs pruned in a
+    single pass, then processed in the reference's order. Equivalence:
+    comment extraction never changes the element set, attr pruning
+    never changes text, ``get_text`` skips comments regardless, and li
+    decomposition's effect on span collection is neutralized by
+    ``_concat_spans_from``'s live-tree ancestor filter — so each
+    step sees exactly the state the sequential pipeline would (the
+    byte-parity golden gate pins this)."""
+    from ..dom import TextNode
+
     og_metadata = extract_og_metadata(doc)
     _remove_boilerplate(doc)
-    _remove_comments(doc)
-    _prune_attrs(doc)
-    deduplicate_list_items(doc)
-    concatenate_spans(doc)
+
+    comments: list = []
+    lis: list[Node] = []
+    spans: list[Node] = []
+    stack = list(reversed(doc.children))
+    pop = stack.pop
+    push = stack.extend
+    while stack:
+        node = pop()
+        cls = node.__class__
+        if cls is CommentNode:
+            comments.append(node)
+            continue
+        if cls is TextNode:
+            continue
+        if node.attrs:
+            node.attrs = {k: v for k, v in node.attrs.items()
+                          if k in ALLOWED_ATTRS}
+        name = node.name
+        if name == "li":
+            lis.append(node)
+        elif name == "span":
+            spans.append(node)
+        push(reversed(node.children))
+
+    for c in comments:
+        c.extract()
+    _dedup_lis(lis)
+    _concat_spans_from(doc, spans)
     normalize_text_nodes(doc)
     return doc, og_metadata
 
