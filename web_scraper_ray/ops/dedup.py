@@ -988,22 +988,49 @@ def ngram_jaccard_pairs(
         return out
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # Sparse gram-intersection via chunked BLAS: factorize grams to
+        # integer codes, then |A∩B| for every pair at once as M @ M.T
+        # over the doc×gram incidence matrix, chunked along the gram
+        # axis to bound memory. Counts stay exact: float32 holds
+        # integers < 2^24 and per-doc gram counts are far below that.
         g = g.sort_values(id_col, kind="mergesort")
-        rows = [(i, frozenset(s)) for i, s in zip(g[id_col], g["shingles"])]
-        a_ids, b_ids, jac = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                inter = len(rows[i][1] & rows[j][1])
-                union = len(rows[i][1] | rows[j][1])
-                v = inter / union if union else 0.0
-                if v >= threshold:
-                    a_ids.append(rows[i][0])
-                    b_ids.append(rows[j][0])
-                    jac.append(v)
+        n = len(g)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        shingles = g["shingles"].tolist()
+        sizes = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=n)
+        doc_idx = np.repeat(np.arange(n), sizes)
+        codes, _ = pd.factorize(
+            pd.Series([gram for s in shingles for gram in s]), sort=False
+        )
+        order = np.argsort(codes, kind="stable")
+        codes, doc_idx = codes[order], doc_idx[order]
+        n_grams = int(codes[-1]) + 1 if len(codes) else 0
+
+        inter = np.zeros((n, n), dtype=np.float32)
+        chunk = max(256, (32 << 20) // (4 * n))  # ≤ ~32 MB per slab
+        for lo in range(0, n_grams, chunk):
+            hi = min(n_grams, lo + chunk)
+            s0, s1 = np.searchsorted(codes, [lo, hi])
+            slab = np.zeros((n, hi - lo), dtype=np.float32)
+            slab[doc_idx[s0:s1], codes[s0:s1] - lo] = 1.0
+            inter += slab @ slab.T
+
+        ii, jj = np.triu_indices(n, 1)
+        inter_ij = inter[ii, jj].astype(np.int64)
+        union_ij = sizes[ii] + sizes[jj] - inter_ij  # grams never empty
+        jac = inter_ij / union_ij
+        keep = jac >= threshold
+        ids = g[id_col].to_numpy()
         return pd.DataFrame(
-            {"id_a": pd.Series(a_ids, dtype="int64"),
-             "id_b": pd.Series(b_ids, dtype="int64"),
-             "jaccard": pd.Series(jac, dtype="float64")}
+            {"id_a": pd.Series(ids[ii[keep]], dtype="int64"),
+             "id_b": pd.Series(ids[jj[keep]], dtype="int64"),
+             "jaccard": pd.Series(jac[keep], dtype="float64")}
         )
 
     return (
