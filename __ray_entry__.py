@@ -380,6 +380,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on this process); the driver collects what it needs
         return comp.map_batches(members, batch_format="pandas").sort("doc_id")
 
+    def q_minhash_clusters_exhaustive(sf_dir: str):
+        # md5 hasher + exhaustive banding pins pairs to the SQL-
+        # replayable signature arithmetic; the distributed min-label
+        # propagation is then hash-checked against a DuckDB
+        # WITH RECURSIVE transitive-closure oracle — the iterative
+        # component machinery itself under the driver's value hash
+        import pandas as pd
+        from web_scraper_ray.ops.dedup import components_min_label, minhash_lsh_pairs
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = minhash_lsh_pairs(ds, num_perm=16, jaccard_threshold=0.5,
+                                  hasher="md5", exhaustive=True, concurrency=2)
+        comp = components_min_label(pairs)
+
+        def members(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["node"] != df["label"]].rename(
+                columns={"node": "doc_id", "label": "cluster_rep"}
+            )
+
+        return comp.map_batches(members, batch_format="pandas")
+
+    def q_near_dedup_exhaustive(sf_dir: str):
+        # the FULL near-dup composite (pairs → components → drop via
+        # subtract_ids) under an SQL hash check: survivors of the
+        # md5/exhaustive variant equal documents minus the recursive
+        # oracle's non-representative members
+        from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return remove_near_duplicates(
+            ds, num_perm=16, jaccard_threshold=0.5,
+            hasher="md5", exhaustive=True, concurrency=2,
+        ).select_columns(["doc_id"])
+
     def q_embedding_dups(sf_dir: str):
         # the synthetic embeddings contain no true near-dups, so the
         # query PLANTS deterministic perturbed copies (vec_id + 10^6,
@@ -582,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_exhaustive": q_minhash_exhaustive,
         "minhash_clusters": q_minhash_clusters,
+        "minhash_clusters_exhaustive": q_minhash_clusters_exhaustive,
+        "near_dedup_exhaustive": q_near_dedup_exhaustive,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_exhaustive": q_similarity_ivf_exhaustive,
         "simhash_pairs": q_simhash_pairs,
@@ -727,14 +767,16 @@ def _file_names_sql() -> str:
     """
 
 
-def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
-    """DuckDB twin of ops/dedup.py:minhash_lsh_pairs(hasher='md5',
-    exhaustive=True): shingle sets (distinct 5-char substrings of
-    ASCII-ws-normalized text, space-padded under 5 chars), md5-upper-
-    half shingle hashes folded into [0, 2^61-1) (2^61 ≡ 1 mod p), the
-    exact (a*x+b) mod p minwise signature in HUGEINT, and all-pairs
-    signature-agreement ≥ threshold. The permutation constants are the
-    same seed-7 values the Ray kernel draws (injected as literals)."""
+def _minhash_sig_pair_ctes(num_perm: int = 16, threshold: float = 0.5) -> str:
+    """Shared CTE chain (no leading WITH) ending in
+    ``mh_pairs(id_a, id_b, sig_jaccard)`` — the DuckDB twin of
+    ops/dedup.py:minhash_lsh_pairs(hasher='md5', exhaustive=True):
+    shingle sets (distinct 5-char substrings of ASCII-ws-normalized
+    text, space-padded under 5 chars), md5-upper-half shingle hashes
+    folded into [0, 2^61-1) (2^61 ≡ 1 mod p), the exact (a*x+b) mod p
+    minwise signature in HUGEINT, and all-pairs signature-agreement
+    ≥ threshold. The permutation constants are the same seed-7 values
+    the Ray kernel draws (injected as literals)."""
     from web_scraper_ray.ops.dedup import _MERSENNE, _minhash_params
 
     a, b = _minhash_params(num_perm, seed=7)
@@ -742,8 +784,7 @@ def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
     p = _MERSENNE
-    return f"""
-        WITH params(i, a, b) AS (VALUES {params_vals}),
+    return f"""params(i, a, b) AS (VALUES {params_vals}),
         norm AS (
             SELECT doc_id,
                    trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
@@ -779,16 +820,64 @@ def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
             GROUP BY doc_id, p.i
         ),
         sigv AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sig
-                 GROUP BY doc_id)
-        SELECT id_a, id_b, sig_jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   list_sum(list_transform(range(1, {num_perm + 1}),
-                       k -> CASE WHEN a.sig[k] = b.sig[k]
-                                 THEN 1 ELSE 0 END)) / {num_perm}.0
-                       AS sig_jaccard
-            FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
-        )
-        WHERE sig_jaccard >= {threshold}
+                 GROUP BY doc_id),
+        mh_pairs AS (
+            SELECT id_a, id_b, sig_jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       list_sum(list_transform(range(1, {num_perm + 1}),
+                           k -> CASE WHEN a.sig[k] = b.sig[k]
+                                     THEN 1 ELSE 0 END)) / {num_perm}.0
+                           AS sig_jaccard
+                FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
+            )
+            WHERE sig_jaccard >= {threshold}
+        )"""
+
+
+def _minhash_exhaustive_sql(num_perm: int = 16, threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_minhash_sig_pair_ctes(num_perm, threshold)}
+        SELECT id_a, id_b, sig_jaccard FROM mh_pairs
+    """
+
+
+def _minhash_component_ctes(num_perm: int = 16, threshold: float = 0.5) -> str:
+    """Extends :func:`_minhash_sig_pair_ctes` with a WITH RECURSIVE
+    transitive closure: every node's minimum reachable id IS its
+    connected component's min label — the declarative oracle for the
+    engine's iterative min-label propagation
+    (ops/dedup.py:components_min_label). UNION (not UNION ALL) bounds
+    the recursion at the finite reachable-pair set."""
+    return f"""{_minhash_sig_pair_ctes(num_perm, threshold)},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM mh_pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (SELECT node, MIN(lbl) AS label FROM reach
+                   GROUP BY node)"""
+
+
+def _minhash_clusters_exhaustive_sql(num_perm: int = 16,
+                                     threshold: float = 0.5) -> str:
+    return f"""
+        WITH RECURSIVE {_minhash_component_ctes(num_perm, threshold)}
+        SELECT node AS doc_id, label AS cluster_rep
+        FROM labels WHERE node <> label
+    """
+
+
+def _near_dedup_exhaustive_sql(num_perm: int = 16,
+                               threshold: float = 0.5) -> str:
+    return f"""
+        WITH RECURSIVE {_minhash_component_ctes(num_perm, threshold)}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
     """
 
 
@@ -1139,6 +1228,8 @@ def oracle_sql() -> dict[str, str]:
         # standalone query, composed by doc_id joins
         "training_corpus": _training_corpus_sql(),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
+        "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
+        "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
         "crawl_round0": _crawl_round0_sql(),
         "file_names": _file_names_sql(),
         "quality_filter": f"""
