@@ -490,3 +490,83 @@ def test_components_raises_on_exhausted_iterations(ray_session):
     with pytest.raises(RuntimeError, match="did not converge"):
         components_min_label(ray.data.from_pandas(chain), n_buckets=4,
                              max_iters=2, small_edge_cutoff=0)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+@pytest.fixture(scope="module")
+def decontam_ds(ray_session):
+    import ray.data
+
+    words = [f"w{i}" for i in range(40)]
+    eval_text = " ".join(words[:20])          # the "benchmark" doc
+    rows = [
+        {"doc_id": 0, "text": eval_text},                                # bench itself
+        {"doc_id": 1, "text": "x " + " ".join(words[4:12]) + " y"},      # shares an 8-gram
+        {"doc_id": 2, "text": " ".join(words[20:40])},                   # disjoint
+        {"doc_id": 3, "text": " ".join(words[:7])},                      # too short to match
+        {"doc_id": 4, "text": ""},                                       # empty
+        {"doc_id": 5, "text": " ".join(reversed(words[:20]))},           # same tokens, wrong order
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_decontaminate_planted(decontam_ds):
+    from web_scraper_ray.ops.decontam import (
+        benchmark_ngram_ref, contamination_counts, decontaminate,
+    )
+
+    bench = decontam_ds.filter(lambda r: r["doc_id"] == 0)
+    ref = benchmark_ngram_ref(bench, n=8)
+    counts = contamination_counts(decontam_ds, ref, n=8).to_pandas()
+    by_id = dict(zip(counts["doc_id"], counts["n_matched_grams"]))
+    assert by_id[0] == 13          # 20 tokens -> 13 distinct 8-grams, all self-hits
+    assert by_id[1] == 1           # exactly the planted window w4..w11
+    assert by_id[2] == 0 and by_id[3] == 0 and by_id[4] == 0
+    assert by_id[5] == 0           # order matters: reversed tokens don't match
+
+    kept = sorted(decontaminate(decontam_ds, bench, n=8).to_pandas()["doc_id"])
+    assert kept == [2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher rep-removal family)
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    from web_scraper_ray.ops.text import repetition_stats_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "aaa\nbb\naaa\ncc\naaa",       # 'aaa' x3 -> dup mass 6 of 13
+                "p one\n\np two\n\np one",      # para 'p one' x2 -> dup 5 of 15
+                "go go go go stop",             # top 2-gram 'go go' x3, len 5
+            ],
+        }
+    )
+    st = repetition_stats_batch(df).set_index("doc_id")
+    assert st.loc[0, "n_dup_line_chars"] == 6 and st.loc[0, "n_line_chars"] == 13
+    assert st.loc[0, "n_dup_para_chars"] == 0  # no \n\n: one para, no dups
+    assert st.loc[1, "n_dup_para_chars"] == 5 and st.loc[1, "n_para_chars"] == 15
+    assert st.loc[2, "top2_count"] == 3 and st.loc[2, "top2_len"] == 5
+    # doc 0's top 2-gram: every adjacent line-pair token bigram is unique
+    assert st.loc[0, "top2_count"] == 1
+
+
+def test_repetition_filter_drops_repetitive(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.text import repetition_filter
+
+    spam = "\n".join(["buy now"] * 50)
+    # every token distinct -> every line and every 2-gram unique
+    clean = "\n".join(f"a{i} b{i} c{i} d{i} e{i}" for i in range(50))
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": spam}, {"doc_id": 1, "text": clean}]
+    )
+    kept = repetition_filter(ds).to_pandas()["doc_id"].tolist()
+    assert kept == [1]

@@ -125,6 +125,107 @@ def token_pieces_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
 
 
 # ---------------------------------------------------------------------------
+# intra-document repetition signals (Gopher §A1.1 rep-removal family)
+
+
+def repetition_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document repetition signals as exact integers (numerators /
+    denominators; ratios left to the consumer so every column is
+    SQL-hash-checkable):
+
+    * ``n_dup_line_chars`` / ``n_line_chars`` — character mass of line
+      occurrences beyond each line's first, over all line characters
+      (lines split on ``\\n``);
+    * ``n_dup_para_chars`` / ``n_para_chars`` — same over paragraphs
+      (split on ``\\n\\n``);
+    * ``top2_count`` × ``top2_len`` — occurrence count and character
+      length of the most frequent word 2-gram (ASCII-ws tokens joined
+      by one space; ties broken by lexicographically smallest gram),
+      the "top n-gram character fraction" numerator.
+
+    All counting is position-free ((count−1)·len per distinct value ==
+    occurrences-after-first mass) and batch-vectorized: explode +
+    groupby, no per-document Python loop."""
+    s = df[text_col].fillna("")
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        if c != text_col:
+            out[c] = df[c]
+
+    def dup_mass(parts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        ex = parts.explode()
+        d = pd.DataFrame({"i": ex.index, "v": ex.to_numpy()})
+        d["L"] = d["v"].str.len().astype("int64")
+        tot = d.groupby("i")["L"].sum()
+        g = d.groupby(["i", "v"], sort=False).agg(
+            c=("L", "size"), L=("L", "first")
+        ).reset_index()
+        dup = ((g["c"] - 1) * g["L"]).groupby(g["i"]).sum()
+        total = np.zeros(len(parts), dtype=np.int64)
+        dmass = np.zeros(len(parts), dtype=np.int64)
+        total[tot.index.to_numpy()] = tot.to_numpy()
+        dmass[dup.index.to_numpy()] = dup.to_numpy()
+        return dmass, total
+
+    lines = s.str.split("\n")
+    lines.index = pd.RangeIndex(len(s))
+    paras = s.str.split("\n\n")
+    paras.index = pd.RangeIndex(len(s))
+    dl, tl = dup_mass(lines)
+    dp, tp = dup_mass(paras)
+    out["n_dup_line_chars"] = dl
+    out["n_line_chars"] = tl
+    out["n_dup_para_chars"] = dp
+    out["n_para_chars"] = tp
+
+    from web_scraper_ray.ops.decontam import _doc_ngrams
+
+    didx, grams = _doc_ngrams(s, 2)
+    t2c = np.zeros(len(s), dtype=np.int64)
+    t2l = np.zeros(len(s), dtype=np.int64)
+    if len(grams):
+        g2 = (
+            pd.DataFrame({"i": didx, "g": grams})
+            .groupby(["i", "g"], sort=False).size().reset_index(name="c")
+            .sort_values(["i", "c", "g"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates(subset=["i"], keep="first")
+        )
+        t2c[g2["i"].to_numpy()] = g2["c"].to_numpy()
+        t2l[g2["i"].to_numpy()] = g2["g"].str.len().to_numpy()
+    out["top2_count"] = t2c
+    out["top2_len"] = t2l
+    return out
+
+
+def repetition_filter(
+    ds,
+    max_dup_line_frac_pct: int = 30,
+    max_dup_para_frac_pct: int = 30,
+    max_top2_char_frac_pct: int = 20,
+) -> "ray.data.Dataset":
+    """Gopher-style repetition gate: drop documents whose duplicate-line
+    / duplicate-paragraph / top-2-gram character fractions exceed the
+    thresholds. Cross-multiplied integer predicates (no float
+    division), one pure filtering scan."""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        st = repetition_stats_batch(df)
+        n_chars = df["text"].fillna("").str.len().astype("int64")
+        keep = (
+            (st["n_dup_line_chars"] * 100
+             <= max_dup_line_frac_pct * st["n_line_chars"])
+            & (st["n_dup_para_chars"] * 100
+               <= max_dup_para_frac_pct * st["n_para_chars"])
+            & (st["top2_count"] * st["top2_len"] * 100
+               <= max_top2_char_frac_pct * n_chars)
+        )
+        return df.loc[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # language identification (n-gram heuristic)
 
 _LANG_PROFILES = {
