@@ -464,6 +464,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fingerprint"]
         )
 
+    def _bench_docs(sf_dir: str):
+        # deterministic stand-in "benchmark": the ~1/16 of documents
+        # whose md5(doc_id) hex starts with '0' — SQL-replayable, no
+        # external data (eval sets are fixed-size small sides; see
+        # ops/decontam.py for the broadcast rationale)
+        import hashlib
+
+        import pandas as pd
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def is_bench(df: pd.DataFrame) -> pd.DataFrame:
+            sel = df["doc_id"].map(
+                lambda i: hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+            )
+            return df.loc[sel]
+
+        return ds, ds.map_batches(is_bench, batch_format="pandas")
+
+    def q_decontaminate(sf_dir: str):
+        # per-doc distinct matched-8-gram counts vs the benchmark set
+        from web_scraper_ray.ops.decontam import (
+            benchmark_ngram_ref, contamination_counts,
+        )
+
+        ds, bench = _bench_docs(sf_dir)
+        ref = benchmark_ngram_ref(bench, n=8)
+        return contamination_counts(ds, ref, n=8)
+
+    def q_decontam_survivors(sf_dir: str):
+        # the filtering composite itself (decontaminate() keep path)
+        from web_scraper_ray.ops.decontam import decontaminate
+
+        ds, bench = _bench_docs(sf_dir)
+        return decontaminate(ds, bench, n=8).select_columns(["doc_id"])
+
+    def q_repetition_stats(sf_dir: str):
+        from web_scraper_ray.ops.text import repetition_stats_batch
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(repetition_stats_batch, batch_format="pandas")
+
+    def q_repetition_filter(sf_dir: str):
+        from web_scraper_ray.ops.text import repetition_filter
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return repetition_filter(ds).select_columns(["doc_id"])
+
     def q_crawl_order(sf_dir: str):
         import shutil
 
@@ -630,6 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "decontaminate": q_decontaminate,
+        "decontam_survivors": q_decontam_survivors,
+        "repetition_stats": q_repetition_stats,
+        "repetition_filter": q_repetition_filter,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
@@ -878,6 +936,149 @@ def _near_dedup_exhaustive_sql(num_perm: int = 16,
         WITH RECURSIVE {_minhash_component_ctes(num_perm, threshold)}
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
+    """
+
+
+#: shared token / n-gram CTE fragments for the decontamination and
+#: repetition oracles (ASCII-whitespace token runs — the exact class
+#: ops/decontam.py compiles; DuckDB list slice l[a:b] is 1-based
+#: inclusive, so the n-gram at position p is tk[p:p+n-1])
+def _decontam_ctes(n: int = 8) -> str:
+    return f"""toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(COALESCE(text, ''),
+                                      '[^ \t\n\r\f\v]+') AS tk
+            FROM documents
+        ),
+        bgrams AS (
+            SELECT DISTINCT array_to_string(tk[p:p+{n - 1}], ' ') AS g
+            FROM (SELECT tk, unnest(generate_series(1, len(tk) - {n - 1}))
+                          AS p
+                  FROM toks
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+        ),
+        cgrams AS (
+            SELECT doc_id, array_to_string(tk[p:p+{n - 1}], ' ') AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {n - 1})) AS p
+                  FROM toks)
+        ),
+        hit_counts AS (
+            SELECT doc_id, COUNT(*) AS n FROM (
+                SELECT DISTINCT c.doc_id, c.g
+                FROM cgrams c JOIN bgrams b USING (g)
+            ) GROUP BY doc_id
+        )"""
+
+
+def _decontaminate_sql(n: int = 8) -> str:
+    """DuckDB twin of ops/decontam.py:contamination_counts — distinct
+    matched token 8-grams per document vs the md5-selected benchmark
+    subset."""
+    return f"""
+        WITH {_decontam_ctes(n)}
+        SELECT t.doc_id,
+               COALESCE(h.n, 0)::BIGINT AS n_matched_grams
+        FROM toks t LEFT JOIN hit_counts h USING (doc_id)
+    """
+
+
+def _decontam_survivors_sql(n: int = 8) -> str:
+    return f"""
+        WITH {_decontam_ctes(n)}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit_counts)
+    """
+
+
+def _repetition_ctes() -> str:
+    """Shared CTEs ending in ``rep(doc_id, 6 int signals)`` — the
+    DuckDB twin of ops/text.py:repetition_stats_batch (position-free
+    duplicate mass: (count-1)*len per distinct line/paragraph; top
+    2-gram by count desc then gram asc)."""
+    return """lines AS (
+            SELECT doc_id, unnest(string_split(COALESCE(text, ''),
+                                               chr(10))) AS v
+            FROM documents
+        ),
+        lstat AS (
+            SELECT doc_id,
+                   SUM(L)::BIGINT AS n_line_chars,
+                   SUM((c - 1) * L0)::BIGINT AS n_dup_line_chars
+            FROM (SELECT doc_id, v, SUM(length(v)) AS L, COUNT(*) AS c,
+                         length(v) AS L0
+                  FROM lines GROUP BY doc_id, v)
+            GROUP BY doc_id
+        ),
+        paras AS (
+            SELECT doc_id, unnest(string_split(COALESCE(text, ''),
+                                               chr(10) || chr(10))) AS v
+            FROM documents
+        ),
+        pstat AS (
+            SELECT doc_id,
+                   SUM(L)::BIGINT AS n_para_chars,
+                   SUM((c - 1) * L0)::BIGINT AS n_dup_para_chars
+            FROM (SELECT doc_id, v, SUM(length(v)) AS L, COUNT(*) AS c,
+                         length(v) AS L0
+                  FROM paras GROUP BY doc_id, v)
+            GROUP BY doc_id
+        ),
+        rtoks AS (
+            SELECT doc_id,
+                   regexp_extract_all(COALESCE(text, ''),
+                                      '[^ \t\n\r\f\v]+') AS tk
+            FROM documents
+        ),
+        g2c AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id, array_to_string(tk[p:p+1], ' ') AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, len(tk) - 1)) AS p
+                      FROM rtoks)
+            ) GROUP BY doc_id, g
+        ),
+        top2 AS (
+            SELECT doc_id, c AS top2_count,
+                   length(g)::BIGINT AS top2_len
+            FROM (SELECT doc_id, g, c,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, g ASC) AS rn
+                  FROM g2c)
+            WHERE rn = 1
+        ),
+        rep AS (
+            SELECT d.doc_id,
+                   l.n_dup_line_chars, l.n_line_chars,
+                   p2.n_dup_para_chars, p2.n_para_chars,
+                   COALESCE(t.top2_count, 0)::BIGINT AS top2_count,
+                   COALESCE(t.top2_len, 0)::BIGINT AS top2_len
+            FROM documents d
+            JOIN lstat l USING (doc_id)
+            JOIN pstat p2 USING (doc_id)
+            LEFT JOIN top2 t USING (doc_id)
+        )"""
+
+
+def _repetition_stats_sql() -> str:
+    return f"""
+        WITH {_repetition_ctes()}
+        SELECT doc_id, n_dup_line_chars, n_line_chars,
+               n_dup_para_chars, n_para_chars, top2_count, top2_len
+        FROM rep
+    """
+
+
+def _repetition_filter_sql(max_line_pct: int = 30, max_para_pct: int = 30,
+                           max_top2_pct: int = 20) -> str:
+    return f"""
+        WITH {_repetition_ctes()}
+        SELECT r.doc_id FROM rep r
+        JOIN documents d USING (doc_id)
+        WHERE r.n_dup_line_chars * 100 <= {max_line_pct} * r.n_line_chars
+          AND r.n_dup_para_chars * 100 <= {max_para_pct} * r.n_para_chars
+          AND r.top2_count * r.top2_len * 100
+              <= {max_top2_pct} * length(COALESCE(d.text, ''))
     """
 
 
@@ -1190,6 +1391,10 @@ def oracle_sql() -> dict[str, str]:
         # ord(c) == the utf-8 byte on the ASCII documents corpus),
         # fingerprint = min over all 5-word-window folds.
         "fingerprints": _FINGERPRINT_SQL,
+        "decontaminate": _decontaminate_sql(),
+        "decontam_survivors": _decontam_survivors_sql(),
+        "repetition_stats": _repetition_stats_sql(),
+        "repetition_filter": _repetition_filter_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s
         # shorthand, explicit ASCII classes — by construction,
