@@ -518,6 +518,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return repetition_filter(ds).select_columns(["doc_id"])
 
+    def q_para_dedup(sf_dir: str):
+        # corpus-wide paragraph dedup: first (doc_id, position)
+        # occurrence of each distinct paragraph wins; docs rebuilt
+        from web_scraper_ray.ops.dedup import paragraph_dedup
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return paragraph_dedup(ds)
+
     def q_crawl_order(sf_dir: str):
         import shutil
 
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_survivors": q_decontam_survivors,
         "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
+        "para_dedup": q_para_dedup,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
@@ -1082,6 +1093,38 @@ def _repetition_filter_sql(max_line_pct: int = 30, max_para_pct: int = 30,
     """
 
 
+def _para_dedup_sql() -> str:
+    """DuckDB twin of ops/dedup.py:paragraph_dedup — the engine
+    elects the (doc_id, p)-min occurrence per distinct md5(paragraph);
+    the SQL replays it as a row_number window partitioned by the
+    paragraph text itself (identical absent a 128-bit md5 collision).
+    string_split / string_agg / 1-based generate_series positions all
+    mirror the engine's plain-split, 1-based explode exactly."""
+    return """
+        WITH paras AS (
+            SELECT doc_id, p, l[p] AS v
+            FROM (SELECT doc_id,
+                         string_split(COALESCE(text, ''),
+                                      chr(10) || chr(10)) AS l,
+                         unnest(generate_series(1, len(l))) AS p
+                  FROM documents)
+        ),
+        kept AS (
+            SELECT doc_id, p, v,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY doc_id, p) AS rn
+            FROM paras
+        )
+        SELECT d.doc_id, COALESCE(k.text, '') AS text
+        FROM documents d
+        LEFT JOIN (SELECT doc_id,
+                          string_agg(v, chr(10) || chr(10)
+                                     ORDER BY p) AS text
+                   FROM kept WHERE rn = 1 GROUP BY doc_id) k
+        USING (doc_id)
+    """
+
+
 def _bpe_piece_re_sql() -> str:
     """BPE_PIECE_RE as a DuckDB string-literal body: single quotes
     doubled; the control characters in the explicit whitespace classes
@@ -1395,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_survivors": _decontam_survivors_sql(),
         "repetition_stats": _repetition_stats_sql(),
         "repetition_filter": _repetition_filter_sql(),
+        "para_dedup": _para_dedup_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s
         # shorthand, explicit ASCII classes — by construction,

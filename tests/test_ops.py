@@ -570,3 +570,57 @@ def test_repetition_filter_drops_repetitive(ray_session):
     )
     kept = repetition_filter(ds).to_pandas()["doc_id"].tolist()
     assert kept == [1]
+
+
+def test_paragraph_dedup_planted(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import paragraph_dedup
+
+    # X first appears in doc 0; Y in doc 0; doc 2 is Y twice (both lose)
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "X\n\nY"},
+            {"doc_id": 1, "text": "X\n\nZ"},
+            {"doc_id": 2, "text": "Y\n\nY"},
+            {"doc_id": 3, "text": ""},   # first empty paragraph wins
+            {"doc_id": 4, "text": ""},   # ...this one loses it
+        ]
+    )
+    for mode in ("broadcast", "bucketed"):
+        out = (
+            paragraph_dedup(ds, mode=mode, n_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text"].tolist() == ["X\n\nY", "Z", "", "", ""], mode
+
+
+def test_paragraph_dedup_modes_agree(ray_session):
+    """broadcast and bucketed regimes produce identical documents on a
+    corpus with heavy cross-document paragraph sharing."""
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import paragraph_dedup
+
+    rows = [
+        {
+            "doc_id": i,
+            "text": "\n\n".join(
+                f"shared paragraph {j % 7}" if j % 2 else f"own {i} {j}"
+                for j in range(1 + i % 5)
+            ),
+        }
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(rows).repartition(8)
+    a = paragraph_dedup(ds, mode="broadcast").to_pandas()
+    b = paragraph_dedup(ds, mode="bucketed", n_buckets=8).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # first-wins: doc 0 keeps its shared paragraphs, later docs lose them
+    assert "shared paragraph" in a.loc[1, "text"]
+    later = a.loc[a["doc_id"] >= 7, "text"].str.contains("shared paragraph")
+    assert not later.any()

@@ -198,6 +198,172 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level exact dedup (corpus-wide, first-occurrence-wins)
+
+def _paragraph_table(df: pd.DataFrame, text_col: str, id_col: str,
+                     sep: str, with_text: bool) -> pd.DataFrame:
+    """Explode a batch of documents into one row per paragraph:
+    ``(id, p, [v,] h)`` with ``p`` the 1-based position (matching
+    DuckDB's 1-based list subscripts, so the SQL twin lines up) and
+    ``h`` the full md5 hex of the paragraph (128-bit — no collision
+    handling needed at any realistic corpus size). Splitting is a
+    plain (non-regex) ``str.split(sep)``, identical to DuckDB
+    ``string_split``; an empty/null document yields ONE empty
+    paragraph, as ``string_split('', sep)`` does."""
+    texts = df[text_col].fillna("")
+    parts = texts.str.split(sep)
+    lens = parts.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    p = np.arange(total, dtype=np.int64) - starts + 1
+    flat = [v for lst in parts for v in lst]
+    out = {id_col: ids, "p": p}
+    if with_text:
+        out["v"] = flat
+    out["h"] = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in flat]
+    return pd.DataFrame(out)
+
+
+@ray.remote(num_cpus=0)
+def _loser_pairs_task(*tables) -> pd.DataFrame:
+    """Fold loser (id, p) blocks into one DataFrame in the object
+    store (driver never holds it; filter tasks read it zero-copy)."""
+    import pyarrow as pa
+
+    parts = [t for t in tables if t.num_rows]
+    if not parts:
+        return pd.DataFrame({"_id": np.empty(0, np.int64),
+                             "p": np.empty(0, np.int64)})
+    t = pa.concat_tables(parts)
+    return pd.DataFrame({
+        "_id": t.column(0).to_numpy(zero_copy_only=False).astype(np.int64),
+        "p": t.column(1).to_numpy(zero_copy_only=False).astype(np.int64),
+    })
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    n_buckets: int = 64,
+    mode: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    MassiveText repetition-removal step): every occurrence of a
+    paragraph after its first — across ALL documents, ordered by
+    (doc id, position) — is dropped, and each document's surviving
+    paragraphs are re-joined by ``sep`` in original order. Returns
+    ``(id_col, text_col)``; a document whose every paragraph was seen
+    earlier comes back with empty text.
+
+    Ray-Data shape (the family pattern, module doc above):
+
+    1. explode to compact ``(id, p, md5)`` rows — text stays behind;
+    2. ``groupby(md5-bucket)`` elects the (id, p)-min occurrence per
+       distinct paragraph and emits the losers — the all-to-all moves
+       only ids + positions + 32-byte hex digests;
+    3. rebuild: re-split each document locally and drop its loser
+       positions. ``broadcast`` puts the loser table in the object
+       store once (small loser sets); ``bucketed`` co-locates docs
+       and losers by ``id % n_buckets`` so no process ever holds the
+       full loser set — at web-scale repetition rates the loser table
+       is O(total paragraphs), i.e. corpus-shaped. The bucketed
+       rebuild is the one pass where text rides a shuffle (it must
+       meet its losers somewhere); the decision pass never ships it.
+
+    ``ds`` is consumed twice (hash pass + rebuild pass) — pass a
+    re-readable source. Oracle twin: ``para_dedup`` in
+    ``__ray_entry__.oracle_sql`` replays the same election with a
+    ``row_number() OVER (PARTITION BY v ORDER BY doc_id, p)`` window.
+    """
+    slim = ds.select_columns([id_col, text_col]).map_batches(
+        lambda df: _paragraph_table(df, text_col, id_col, sep,
+                                    with_text=False),
+        batch_format="pandas",
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["h"].map(lambda h: int(h[:8], 16) % n_buckets)
+        return df
+
+    def losers_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col, "p"], kind="mergesort")
+        lose = g.duplicated(subset=["h"], keep="first")
+        return g.loc[lose, [id_col, "p"]]
+
+    losers = (
+        slim.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(losers_in_group, batch_format="pandas")
+        .materialize()
+    )
+    if mode == "auto":
+        mode = "broadcast" if losers.count() <= broadcast_limit else "bucketed"
+
+    def rebuild(df: pd.DataFrame, loser_df: pd.DataFrame) -> pd.DataFrame:
+        paras = _paragraph_table(df, text_col, id_col, sep, with_text=True)
+        if len(loser_df):
+            m = paras.merge(
+                loser_df.rename(columns={"_id": id_col}),
+                on=[id_col, "p"], how="left", indicator=True,
+            )
+            paras = m.loc[m["_merge"] == "left_only", [id_col, "p", "v"]]
+        paras = paras.sort_values([id_col, "p"], kind="mergesort")
+        agg = paras.groupby(id_col, sort=False)["v"].agg(sep.join)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+        out[text_col] = out[id_col].map(agg).fillna("")
+        return out
+
+    if mode == "broadcast":
+        ref = _loser_pairs_task.remote(*losers.to_arrow_refs())
+
+        def rb(df: pd.DataFrame) -> pd.DataFrame:
+            ld = ray.get(ref)
+            sel = ld.loc[np.isin(ld["_id"].to_numpy(),
+                                 df[id_col].to_numpy())]
+            return rebuild(df, sel)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            rb, batch_format="pandas"
+        )
+
+    if mode != "bucketed":
+        raise ValueError(f"unknown paragraph_dedup mode: {mode}")
+
+    def tag_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, text_col]].copy()
+        out["p"] = np.int64(0)
+        out["__side"] = "c"
+        out["__bkt"] = out[id_col].to_numpy(dtype=np.int64) % n_buckets
+        return out
+
+    def tag_losers(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids, text_col: "", "p": df["p"].to_numpy(np.int64),
+            "__side": "l", "__bkt": ids % n_buckets,
+        })
+
+    both = ds.select_columns([id_col, text_col]).map_batches(
+        tag_corpus, batch_format="pandas"
+    ).union(losers.map_batches(tag_losers, batch_format="pandas"))
+
+    def rebuild_group(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["__side"] == "c", [id_col, text_col]]
+        ld = g.loc[g["__side"] == "l", [id_col, "p"]].rename(
+            columns={id_col: "_id"})
+        return rebuild(c, ld)
+
+    return both.groupby("__bkt").map_groups(
+        rebuild_group, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash
 
 import re as _re
