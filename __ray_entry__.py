@@ -528,6 +528,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return paragraph_dedup(ds)
 
+    def q_pii_redact(sf_dir: str):
+        # plant deterministic PII per doc (the synthetic corpus has
+        # none), then scrub — so the check exercises real matches
+        import pandas as pd
+
+        from web_scraper_ray.ops.text import redact_pii
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            i = df["doc_id"].astype("int64")
+            df["text"] = (
+                df["text"].fillna("") + " contact user" + i.astype(str)
+                + "@example.com ip 10.0." + (i % 256).astype(str)
+                + ".7 tel +1415555" + (1000 + i % 9000).astype(str)
+            )
+            return df
+
+        return redact_pii(ds.map_batches(plant, batch_format="pandas"))
+
     def q_crawl_order(sf_dir: str):
         import shutil
 
@@ -699,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
         "para_dedup": q_para_dedup,
+        "pii_redact": q_pii_redact,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
@@ -1125,6 +1149,37 @@ def _para_dedup_sql() -> str:
     """
 
 
+def _pii_redact_sql() -> str:
+    """DuckDB twin of ops/text.py:redact_pii over the planted-PII
+    corpus: the SAME pattern strings (imported from PII_PATTERNS, so
+    engine and oracle cannot drift) run under RE2 — nested
+    regexp_replace in the engine's fixed order, counts on the original
+    planted text."""
+    from web_scraper_ray.ops.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    em, ip, ph = pats["email"], pats["ipv4"], pats["phone"]
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   COALESCE(text, '') || ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1415555'
+                   || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{em}', '<EMAIL>', 'g'),
+                   '{ip}', '<IPV4>', 'g'),
+                   '{ph}', '<PHONE>', 'g') AS text,
+               len(regexp_extract_all(text, '{em}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phone
+        FROM planted
+    """
+
+
 def _bpe_piece_re_sql() -> str:
     """BPE_PIECE_RE as a DuckDB string-literal body: single quotes
     doubled; the control characters in the explicit whitespace classes
@@ -1439,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "repetition_filter": _repetition_filter_sql(),
         "para_dedup": _para_dedup_sql(),
+        "pii_redact": _pii_redact_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s
         # shorthand, explicit ASCII classes — by construction,

@@ -624,3 +624,36 @@ def test_paragraph_dedup_modes_agree(ray_session):
     assert "shared paragraph" in a.loc[1, "text"]
     later = a.loc[a["doc_id"] >= 7, "text"].str.contains("shared paragraph")
     assert not later.any()
+
+
+def test_pii_redact_planted(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.text import pii_redact_batch, redact_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail john.doe+x@sub.example.co.uk today",
+                "hosts 10.0.255.1 and 999.999.999.999 both match",
+                "call +14155550123; +123456 is too short; v1.2.3.4x no",
+                None,  # null text -> empty, zero counts
+            ],
+        }
+    )
+    out = pii_redact_batch(df).set_index("doc_id")
+    assert out.loc[0, "text"] == "mail <EMAIL> today"
+    assert out.loc[0, ["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 0, 0]
+    # the dotted-quad pattern is syntactic (no 0-255 range check)
+    assert out.loc[1, "text"] == "hosts <IPV4> and <IPV4> both match"
+    assert out.loc[2, "text"] == "call <PHONE>; +123456 is too short; v1.2.3.4x no"
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_email"] == 0
+    # dataset path agrees with the batch kernel
+    ds_out = (
+        redact_pii(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert ds_out.equals(out)

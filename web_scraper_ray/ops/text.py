@@ -310,3 +310,48 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text", k: int = 5) -> p
     df = df.copy()
     df["fingerprint"] = df[text_col].fillna("").map(lambda t: rolling_fingerprint(t, k)).astype("uint64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+#: Each pattern is written for IDENTICAL semantics under Python re
+#: (re.ASCII) and DuckDB RE2: explicit ASCII classes only, no \s
+#: shorthand, no lookarounds, no backreferences. The email TLD is
+#: [A-Za-z][A-Za-z]+ (>= 2 alpha); \b is safe (both engines share the
+#: ASCII word-boundary definition here).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9]{7,15}"),
+)
+
+_PII_COMPILED = tuple(
+    (name, re.compile(pat, re.ASCII)) for name, pat in PII_PATTERNS
+)
+
+
+def pii_redact_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Replace emails, dotted-quad IPs and international phone numbers
+    with ``<EMAIL>`` / ``<IPV4>`` / ``<PHONE>`` tokens, applied in that
+    fixed order (each pattern over the previous pattern's output, as
+    the SQL twin's nested ``regexp_replace`` does). Per-type match
+    counts (``n_email`` / ``n_ipv4`` / ``n_phone``) are taken on the
+    ORIGINAL text, each pattern independently. Fully vectorized
+    (pandas ``.str`` kernels over compiled patterns)."""
+    out = df.copy()
+    orig = out[text_col].fillna("")
+    red = orig
+    for name, cre in _PII_COMPILED:
+        out[f"n_{name}"] = orig.str.count(cre).astype("int64")
+        red = red.str.replace(cre, f"<{name.upper()}>", regex=True)
+    out[text_col] = red
+    return out
+
+
+def redact_pii(ds, text_col: str = "text") -> "ray.data.Dataset":
+    """Dataset-level PII scrub: pure ``map_batches`` — no shuffle, no
+    state, embarrassingly parallel at any corpus size."""
+    return ds.map_batches(
+        lambda df: pii_redact_batch(df, text_col), batch_format="pandas"
+    )
