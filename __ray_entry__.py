@@ -244,6 +244,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_sample(ds, "doc_id", rate=0.25, seed=17)
 
+    def q_stratified_sample(sf_dir: str):
+        # domain rebalancing: downsample src0 hard, src1 mildly, keep
+        # src2 whole (exercises the rate>=1 keep-all branch), default
+        # 0.8 for the other 17 sources
+        from web_scraper_ray.ops.sampling import stratified_sample
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        return stratified_sample(
+            ds, "doc_id", "source",
+            rates={"src0": 0.2, "src1": 0.5, "src2": 1.0},
+            default_rate=0.8, seed=17,
+        )
+
     def q_hash_split(sf_dir: str):
         from web_scraper_ray.ops.sampling import hash_split
 
@@ -699,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_pieces": q_token_pieces,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
         "near_dedup": q_near_dedup,
@@ -1515,6 +1532,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
                   < {int(0.25 * (1 << 64))}::UBIGINT
+        """,
+        # stratified_sample: same hash gate, per-group thresholds
+        # (thresholds computed by the same int(rate * 2^64) the engine
+        # uses; rate>=1 groups keep everything — no boundary clamp)
+        "stratified_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE CASE source
+                WHEN 'src0' THEN
+                    ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                    < {int(0.2 * (1 << 64))}::UBIGINT
+                WHEN 'src1' THEN
+                    ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                    < {int(0.5 * (1 << 64))}::UBIGINT
+                WHEN 'src2' THEN TRUE
+                ELSE
+                    ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                    < {int(0.8 * (1 << 64))}::UBIGINT
+            END
         """,
         "hash_split": f"""
             SELECT doc_id, n_chars,

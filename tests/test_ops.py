@@ -657,3 +657,35 @@ def test_pii_redact_planted(ray_session):
         .sort_index()
     )
     assert ds_out.equals(out)
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import hash_sample, stratified_sample
+
+    rows = [
+        {"doc_id": i, "grp": f"g{i % 4}"} for i in range(4000)
+    ]
+    ds = ray.data.from_items(rows)
+    out = stratified_sample(
+        ds, "doc_id", "grp",
+        rates={"g0": 0.1, "g1": 1.0}, default_rate=0.5, seed=17,
+    ).to_pandas()
+    counts = out["grp"].value_counts()
+    assert counts["g1"] == 1000                       # rate>=1: keep all
+    assert 40 <= counts["g0"] <= 180                  # ~100
+    assert 380 <= counts["g2"] <= 620                 # ~500 (default)
+    # per-key decisions match hash_sample at the same rate/seed: the
+    # stratified gate is the SAME hash, so g0's survivors are exactly
+    # the global-0.1 sample restricted to g0
+    flat = hash_sample(ds, "doc_id", rate=0.1, seed=17).to_pandas()
+    assert set(out.loc[out["grp"] == "g0", "doc_id"]) == set(
+        flat.loc[flat["grp"] == "g0", "doc_id"]
+    )
+    # determinism across parallelism
+    out2 = stratified_sample(
+        ds.repartition(13), "doc_id", "grp",
+        rates={"g0": 0.1, "g1": 1.0}, default_rate=0.5, seed=17,
+    ).to_pandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])

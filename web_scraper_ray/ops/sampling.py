@@ -62,6 +62,50 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Per-group Bernoulli rates — the domain-rebalancing step of a
+    training-data mix (downsample overrepresented sources, keep the
+    rest): a row in group ``g`` survives iff ``hash(seed:key) <
+    rates.get(g, default_rate) * 2^64``, with rate >= 1 groups kept
+    exactly (same boundary rule as :func:`hash_sample`).
+
+    The rates table is one entry per domain/source — a fixed-size
+    small side that rides the task closure; the op itself is a pure
+    ``map_batches`` filter (no shuffle, no materialization, stable
+    under re-runs, resume and corpus growth at any parallelism)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresholds = {
+        g: np.uint64((1 << 64) - 1) if r >= 1.0 else np.uint64(int(r * _SCALE))
+        for g, r in rates.items()
+    }
+    keep_all = frozenset(g for g, r in rates.items() if r >= 1.0)
+    default_thr = (np.uint64((1 << 64) - 1) if default_rate >= 1.0
+                   else np.uint64(int(default_rate * _SCALE)))
+    default_keeps_all = default_rate >= 1.0
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[key_col], seed)
+        thr = df[group_col].map(thresholds).fillna(default_thr).to_numpy(
+            dtype=np.uint64)
+        full = df[group_col].isin(keep_all).to_numpy()
+        if default_keeps_all:
+            full |= ~df[group_col].isin(thresholds).to_numpy()
+        return df.loc[full | (h < thr)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def hash_split(
     ds: ray.data.Dataset,
     key_col: str,
