@@ -85,23 +85,26 @@ def stratified_sample(
             raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    thresholds = {
-        g: np.uint64((1 << 64) - 1) if r >= 1.0 else np.uint64(int(r * _SCALE))
-        for g, r in rates.items()
-    }
+    # integer thresholds only — never through a float dtype (float64
+    # cannot hold 2^64-1 and would silently round the cut points)
+    thresholds = {g: int(r * _SCALE) for g, r in rates.items() if r < 1.0}
     keep_all = frozenset(g for g, r in rates.items() if r >= 1.0)
-    default_thr = (np.uint64((1 << 64) - 1) if default_rate >= 1.0
-                   else np.uint64(int(default_rate * _SCALE)))
-    default_keeps_all = default_rate >= 1.0
+    default_thr = int(default_rate * _SCALE) if default_rate < 1.0 else None
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         h = _key_hash(df[key_col], seed)
-        thr = df[group_col].map(thresholds).fillna(default_thr).to_numpy(
-            dtype=np.uint64)
-        full = df[group_col].isin(keep_all).to_numpy()
-        if default_keeps_all:
-            full |= ~df[group_col].isin(thresholds).to_numpy()
-        return df.loc[full | (h < thr)]
+        # per-UNIQUE-group lookup (vectorized back out via the codes),
+        # so the row path is pure integer numpy
+        codes, uniques = pd.factorize(df[group_col], sort=False)
+        thr_u = np.empty(len(uniques), dtype=np.uint64)
+        full_u = np.empty(len(uniques), dtype=bool)
+        for i, g in enumerate(uniques):
+            if g in keep_all or (g not in thresholds and default_thr is None):
+                thr_u[i], full_u[i] = 0, True
+            else:
+                thr_u[i] = thresholds.get(g, default_thr)
+                full_u[i] = False
+        return df.loc[full_u[codes] | (h < thr_u[codes])]
 
     return ds.map_batches(keep, batch_format="pandas")
 
