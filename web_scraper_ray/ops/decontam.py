@@ -64,12 +64,21 @@ def benchmark_ngram_ref(bench_ds: "ray.data.Dataset", n: int = 8,
     small-side-broadcast regime (vs the bucketed joins used for
     corpus-sized sets elsewhere in this package)."""
 
+    import pyarrow as pa
+
     def to_grams(df: pd.DataFrame) -> pd.DataFrame:
         _, grams = _doc_ngrams(df[text_col], n)
         return pd.DataFrame({"g": pd.unique(grams)})
 
-    rows = bench_ds.map_batches(to_grams, batch_format="pandas").take_all()
-    return ray.put(frozenset(r["g"] for r in rows))
+    # fold the gram blocks as Arrow tables rather than take_all():
+    # per-row dict conversion is ~3x slower than a column to_pylist
+    tabs = ray.get(
+        bench_ds.map_batches(to_grams, batch_format="pandas").to_arrow_refs()
+    )
+    tabs = [t for t in tabs if t.num_rows]
+    grams = (pa.concat_tables(tabs).column("g").to_pylist()
+             if tabs else [])
+    return ray.put(frozenset(grams))
 
 
 def contamination_counts(
