@@ -544,6 +544,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return paragraph_dedup(ds)
 
+    def q_kmeans_clusters(sf_dir: str):
+        # iterative Lloyd's k-means in exact fixed-point integer
+        # arithmetic — every assign/update round replays bit-exactly
+        # in the unrolled SQL oracle
+        from web_scraper_ray.ops.clustering import kmeans_embeddings
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return kmeans_embeddings(ds, k=4, iters=2)
+
     def q_pii_redact(sf_dir: str):
         # plant deterministic PII per doc (the synthetic corpus has
         # none), then scrub — so the check exercises real matches
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": q_repetition_filter,
         "para_dedup": q_para_dedup,
         "pii_redact": q_pii_redact,
+        "kmeans_clusters": q_kmeans_clusters,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
@@ -1166,6 +1178,76 @@ def _para_dedup_sql() -> str:
     """
 
 
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    """DuckDB twin of ops/clustering.py:kmeans_embeddings — the
+    iterations are UNROLLED as CTEs. Exact parity holds because the
+    engine's arithmetic is all-integer fixed-point (module doc there):
+    quantize floor(x*2^14 + 2^15.5), positive floor-division means at
+    the 2^8 scale (``//`` truncation == floor on the positive domain),
+    integer squared distances, (d, cluster) tie order, empty clusters
+    COALESCE to the previous centroid."""
+
+    def assign(t: int, msrc: str) -> str:
+        return f"""d{t} AS (
+            SELECT q.vec_id, {msrc}.cl,
+                   list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> (256 * q.v[i] - {msrc}.m[i])
+                            * (256 * q.v[i] - {msrc}.m[i]))) AS d
+            FROM q CROSS JOIN {msrc}
+        ),
+        a{t} AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        )"""
+
+    parts = [f"""q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0
+                                       + 32768.5) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+                   v AS s, CAST(1 AS BIGINT) AS c
+            FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
+        ),
+        m0 AS (SELECT cl, list_transform(s, x -> (256 * x) // c) AS m
+               FROM c0)"""]
+    for t in range(1, iters + 1):
+        parts.append(assign(t, f"m{t - 1}"))
+        parts.append(f"""e{t} AS (
+            SELECT a{t}.cl, q.v AS v,
+                   unnest(generate_series(1, len(q.v))) AS i
+            FROM a{t} JOIN q USING (vec_id)
+        ),
+        g{t} AS (
+            SELECT cl, list(s_i ORDER BY i) AS s, MAX(n) AS c FROM (
+                SELECT cl, i, CAST(SUM(v[i]) AS BIGINT) AS s_i,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM e{t} GROUP BY cl, i
+            ) GROUP BY cl
+        ),
+        c{t} AS (
+            SELECT c{t - 1}.cl,
+                   COALESCE(g{t}.s, c{t - 1}.s) AS s,
+                   COALESCE(g{t}.c, c{t - 1}.c) AS c
+            FROM c{t - 1} LEFT JOIN g{t} USING (cl)
+        ),
+        m{t} AS (SELECT cl, list_transform(s, x -> (256 * x) // c) AS m
+                 FROM c{t})""")
+    parts.append(assign(iters + 1, f"m{iters}"))
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters + 1}
+    """
+
+
 def _pii_redact_sql() -> str:
     """DuckDB twin of ops/text.py:redact_pii over the planted-PII
     corpus: the SAME pattern strings (imported from PII_PATTERNS, so
@@ -1512,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": _repetition_filter_sql(),
         "para_dedup": _para_dedup_sql(),
         "pii_redact": _pii_redact_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s
         # shorthand, explicit ASCII classes — by construction,

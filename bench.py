@@ -167,6 +167,14 @@ def run_bench() -> dict:
         remove_near_duplicates(docs2, jaccard_threshold=0.5).count()
         queries["near_dedup"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        from web_scraper_ray.ops.dedup import paragraph_dedup
+
+        docs3 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        paragraph_dedup(docs3).count()
+        queries["para_dedup"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",

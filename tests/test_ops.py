@@ -689,3 +689,53 @@ def test_stratified_sample_rates(ray_session):
         rates={"g0": 0.1, "g1": 1.0}, default_rate=0.5, seed=17,
     ).to_pandas()
     assert set(out2["doc_id"]) == set(out["doc_id"])
+
+
+def test_kmeans_planted_clusters(ray_session):
+    import numpy as np
+    import ray.data
+
+    from web_scraper_ray.ops.clustering import kmeans_embeddings
+
+    # three well-separated blobs; deterministic jitter
+    rng = np.random.RandomState(5)
+    centers = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] * 0.8 + rng.uniform(-0.05, 0.05, 4)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32)})
+    ds = ray.data.from_items(rows)
+    out = kmeans_embeddings(ds, k=3, iters=4).to_pandas()
+    # every planted blob lands in exactly one k-means cluster
+    out["true"] = out["vec_id"] % 3
+    grp = out.groupby("true")["cluster"].nunique()
+    assert (grp == 1).all()
+    assert out["cluster"].nunique() == 3
+    # parallelism/layout does not change a single assignment
+    out2 = kmeans_embeddings(
+        ray.data.from_items(rows).repartition(7), k=3, iters=4
+    ).to_pandas()
+    merged = out.merge(out2, on="vec_id", suffixes=("", "_b"))
+    assert (merged["cluster"] == merged["cluster_b"]).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import numpy as np
+    import ray.data
+
+    from web_scraper_ray.ops.clustering import kmeans_embeddings
+
+    # k=3 with only two distinct point locations: one init centroid
+    # never wins a point and must keep its previous (sums, count)
+    rows = [
+        {"vec_id": i,
+         "embedding": np.array([1.0, 0.0] if i % 2 else [0.0, 1.0],
+                               dtype=np.float32)}
+        for i in range(20)
+    ]
+    out = kmeans_embeddings(
+        ray.data.from_items(rows), k=3, iters=3
+    ).to_pandas()
+    assert len(out) == 20
+    assert out["cluster"].nunique() == 2

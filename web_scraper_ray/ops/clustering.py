@@ -1,0 +1,121 @@
+"""Distributed k-means over an embedding column — the curation
+primitive behind cluster-then-dedup pipelines (SemDeDup-style) and
+IVF-like partitioning.
+
+Ray-Data shape (classic Lloyd's, one broadcast + one combiner pass per
+iteration):
+
+  * ASSIGN: centroids ride the object store (``ray.put`` once per
+    iteration); each ``map_batches`` task computes nearest-centroid
+    labels for its batch with one vectorized numpy distance matrix.
+  * UPDATE: each batch emits k partial rows (cluster, component sums,
+    count) — the pre-aggregated combiner pattern, so the driver only
+    ever reduces k x n_blocks tiny rows, never a data-sized table.
+
+Exact-arithmetic discipline (what makes an ITERATIVE float algorithm
+hash-checkable against a DuckDB oracle): embeddings are quantized ONCE
+to positive int64 fixed-point (``floor(x * 2^14 + (2^15 + 0.5))`` —
+exact in float64 for float32 inputs, half-away == floor(+0.5) because
+the offset makes the domain positive), centroid sums/counts stay
+integer, means use positive floor division at an extra 2^8 scale, and
+distances are integer squared-Euclidean (<= 2^54 for dims <= 64 — no
+rounding anywhere, so argmin and every iteration replay bit-exactly in
+SQL). Ties pick the lowest cluster index on both sides. Empty clusters
+keep their previous (sums, count).
+
+``ds`` is executed ``iters + 1`` times — pass a re-readable source
+(e.g. a parquet read), not an expensive unmaterialized pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+#: fixed-point scales: value quantization, positivity offset, mean scale
+_S1, _OFF, _S2 = 16384, 32768, 256
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """float embedding matrix -> positive int64 fixed-point (exact for
+    |x| < 2 float32 inputs; see module doc)."""
+    return np.floor(
+        mat.astype(np.float64) * float(_S1) + (_OFF + 0.5)
+    ).astype(np.int64)
+
+
+def _means(sums: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Fixed-point centroid means at the _S2 scale: exactly
+    ``(_S2 * sums) // cnts`` element-wise, computed by the
+    overflow-safe decomposition (valid for the all-positive domain)."""
+    c = cnts[:, None]
+    return _S2 * (sums // c) + (_S2 * (sums % c)) // c
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v) for v in series])
+
+
+def kmeans_embeddings(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Lloyd's k-means: ``iters`` assign+update rounds, then a final
+    assignment pass under the final centroids. Returns
+    ``(id_col, cluster)``. Init: the embeddings of the ``k`` smallest
+    ids, in id order (deterministic, no RNG)."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"bad k={k} / iters={iters}")
+
+    init = ds.sort(id_col).limit(k).to_pandas()
+    sums = _quantize(_stack(init[emb_col]))
+    cnts = np.ones(k, dtype=np.int64)
+
+    def labels(X: np.ndarray, m: np.ndarray) -> np.ndarray:
+        # n x k integer squared distances; argmin's first-index rule ==
+        # the oracle's (dist, cluster) tie order
+        d = (_S2 * X)[:, None, :] - m[None, :, :]
+        return (d * d).sum(axis=2).argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put((sums, cnts))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            s, c = ray.get(ref)
+            X = _quantize(_stack(df[emb_col]))
+            a = labels(X, _means(s, c))
+            out = {"cl": [], "n": [], "s": []}
+            for j in np.unique(a):
+                sel = X[a == j]
+                out["cl"].append(int(j))
+                out["n"].append(len(sel))
+                out["s"].append(sel.sum(axis=0))
+            return pd.DataFrame(out)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new_sums, new_cnts = sums.copy(), cnts.copy()
+        seen = set()
+        for j, grp in parts.groupby("cl"):
+            new_sums[j] = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+            new_cnts[j] = int(grp["n"].sum())
+            seen.add(int(j))
+        # clusters no point chose keep their previous (sums, count)
+        sums, cnts = new_sums, new_cnts
+
+    final_ref = ray.put(_means(sums, cnts))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(final_ref)
+        X = _quantize(_stack(df[emb_col]))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(),
+             "cluster": labels(X, m).astype(np.int64)}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
