@@ -555,6 +555,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kmeans_embeddings(ds, k=4, iters=2)
 
+    def q_semdedup(sf_dir: str):
+        # cluster-then-dedup survivors; threshold at 0.42 where the
+        # synthetic table has real similar pairs (same level the
+        # embedding_sim_pairs oracle exercises)
+        from web_scraper_ray.ops.clustering import semdedup
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return semdedup(ds, k=4, iters=2, threshold=0.42)
+
     def q_pii_redact(sf_dir: str):
         # plant deterministic PII per doc (the synthetic corpus has
         # none), then scrub — so the check exercises real matches
@@ -752,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
         "extraction": q_extraction,
@@ -1178,14 +1190,15 @@ def _para_dedup_sql() -> str:
     """
 
 
-def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
-    """DuckDB twin of ops/clustering.py:kmeans_embeddings — the
-    iterations are UNROLLED as CTEs. Exact parity holds because the
-    engine's arithmetic is all-integer fixed-point (module doc there):
-    quantize floor(x*2^14 + 2^15.5), positive floor-division means at
-    the 2^8 scale (``//`` truncation == floor on the positive domain),
-    integer squared distances, (d, cluster) tie order, empty clusters
-    COALESCE to the previous centroid."""
+def _kmeans_ctes(k: int = 4, iters: int = 2) -> tuple[str, str]:
+    """Shared CTE chain replaying ops/clustering.py:_fit_centroids +
+    final assignment — iterations UNROLLED. Exact parity holds because
+    the engine's arithmetic is all-integer fixed-point (module doc
+    there): quantize floor(x*2^14 + 2^15.5), positive floor-division
+    means at the 2^8 scale (``//`` truncation == floor on the positive
+    domain), integer squared distances, (d, cluster) tie order, empty
+    clusters COALESCE to the previous centroid. Returns (ctes,
+    final-assignment CTE name)."""
 
     def assign(t: int, msrc: str) -> str:
         return f"""d{t} AS (
@@ -1241,10 +1254,35 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
         m{t} AS (SELECT cl, list_transform(s, x -> (256 * x) // c) AS m
                  FROM c{t})""")
     parts.append(assign(iters + 1, f"m{iters}"))
-    ctes = ",\n        ".join(parts)
+    return ",\n        ".join(parts), f"a{iters + 1}"
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
     return f"""
         WITH {ctes}
-        SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters + 1}
+        SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM {final}
+    """
+
+
+def _semdedup_sql(k: int = 4, iters: int = 2,
+                  threshold: float = 0.42) -> str:
+    """DuckDB twin of ops/clustering.py:semdedup — the k-means CTEs
+    plus the keep rule: a vector survives iff no LOWER-id vector in
+    the SAME cluster sits at cosine >= threshold (NOT EXISTS — the
+    paper's first-occurrence-wins rule, no transitive closure)."""
+    ctes, final = _kmeans_ctes(k, iters)
+    return f"""
+        WITH {ctes}
+        SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster
+        FROM {final} a JOIN embeddings ea ON a.vec_id = ea.vec_id
+        WHERE NOT EXISTS (
+            SELECT 1
+            FROM {final} b JOIN embeddings eb ON b.vec_id = eb.vec_id
+            WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+              AND list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])) >= {threshold})
     """
 
 
@@ -1595,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup": _para_dedup_sql(),
         "pii_redact": _pii_redact_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s
         # shorthand, explicit ASCII classes — by construction,

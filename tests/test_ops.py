@@ -739,3 +739,30 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     ).to_pandas()
     assert len(out) == 20
     assert out["cluster"].nunique() == 2
+
+
+def test_semdedup_drops_planted_copies(ray_session):
+    import numpy as np
+    import ray.data
+
+    from web_scraper_ray.ops.clustering import semdedup
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=8)
+        rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).astype(np.float32)})
+    # plant near-copies of the first 10 with high ids (cos ~ 0.9998)
+    for i in range(10):
+        v = np.asarray(rows[i]["embedding"], dtype=np.float64)
+        v = v + rng.normal(scale=0.01, size=8)
+        rows.append({"vec_id": 1000 + i,
+                     "embedding": (v / np.linalg.norm(v)).astype(np.float32)})
+    ds = ray.data.from_items(rows)
+    out = semdedup(ds, k=3, iters=3, threshold=0.95).to_pandas()
+    kept = set(out["vec_id"])
+    # every planted copy loses to its lower-id original
+    assert all(1000 + i not in kept for i in range(10))
+    assert all(i in kept for i in range(10))
+    # random 8-dim unit vectors essentially never hit cos >= 0.95
+    assert len(kept) == 120

@@ -59,17 +59,20 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v) for v in series])
 
 
-def kmeans_embeddings(
-    ds: ray.data.Dataset,
-    k: int = 4,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> ray.data.Dataset:
-    """Lloyd's k-means: ``iters`` assign+update rounds, then a final
-    assignment pass under the final centroids. Returns
-    ``(id_col, cluster)``. Init: the embeddings of the ``k`` smallest
-    ids, in id order (deterministic, no RNG)."""
+def _labels(X: np.ndarray, m: np.ndarray) -> np.ndarray:
+    # n x k integer squared distances; argmin's first-index rule ==
+    # the oracle's (dist, cluster) tie order
+    d = (_S2 * X)[:, None, :] - m[None, :, :]
+    return (d * d).sum(axis=2).argmin(axis=1)
+
+
+def _fit_centroids(
+    ds: ray.data.Dataset, k: int, iters: int,
+    id_col: str, emb_col: str,
+) -> np.ndarray:
+    """Run the Lloyd iterations and return the final fixed-point
+    centroid means (k x dim int64). Init: the embeddings of the ``k``
+    smallest ids, in id order (deterministic, no RNG)."""
     if k < 1 or iters < 0:
         raise ValueError(f"bad k={k} / iters={iters}")
 
@@ -77,19 +80,13 @@ def kmeans_embeddings(
     sums = _quantize(_stack(init[emb_col]))
     cnts = np.ones(k, dtype=np.int64)
 
-    def labels(X: np.ndarray, m: np.ndarray) -> np.ndarray:
-        # n x k integer squared distances; argmin's first-index rule ==
-        # the oracle's (dist, cluster) tie order
-        d = (_S2 * X)[:, None, :] - m[None, :, :]
-        return (d * d).sum(axis=2).argmin(axis=1)
-
     for _ in range(iters):
         ref = ray.put((sums, cnts))
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             s, c = ray.get(ref)
             X = _quantize(_stack(df[emb_col]))
-            a = labels(X, _means(s, c))
+            a = _labels(X, _means(s, c))
             out = {"cl": [], "n": [], "s": []}
             for j in np.unique(a):
                 sel = X[a == j]
@@ -100,22 +97,83 @@ def kmeans_embeddings(
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
         new_sums, new_cnts = sums.copy(), cnts.copy()
-        seen = set()
         for j, grp in parts.groupby("cl"):
             new_sums[j] = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
             new_cnts[j] = int(grp["n"].sum())
-            seen.add(int(j))
         # clusters no point chose keep their previous (sums, count)
         sums, cnts = new_sums, new_cnts
 
-    final_ref = ray.put(_means(sums, cnts))
+    return _means(sums, cnts)
+
+
+def kmeans_embeddings(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Lloyd's k-means: ``iters`` assign+update rounds, then a final
+    assignment pass under the final centroids. Returns
+    ``(id_col, cluster)``."""
+    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(final_ref)
         X = _quantize(_stack(df[emb_col]))
         return pd.DataFrame(
             {id_col: df[id_col].to_numpy(),
-             "cluster": labels(X, m).astype(np.int64)}
+             "cluster": _labels(X, m).astype(np.int64)}
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Cluster-then-dedup (the SemDeDup recipe): partition vectors
+    with :func:`kmeans_embeddings`' centroids, then inside each
+    cluster drop every vector that has a LOWER-id neighbor at cosine
+    >= ``threshold`` (first-occurrence-wins, no transitive closure —
+    per the paper's keep-one-per-neighborhood rule). Returns surviving
+    ``(id_col, cluster)`` rows.
+
+    Scale shape: the only all-to-all is the ``groupby(cluster)`` of
+    (id, cluster, vector) rows; within a cluster the comparison is one
+    normalized float64 matmul. The partitioning assumption is the
+    algorithm's own: ``k`` is chosen so a cluster fits one worker
+    (web-scale SemDeDup runs k in the tens of thousands for exactly
+    this reason). Cosine verification matches
+    :func:`~web_scraper_ray.ops.dedup.embedding_dup_pairs` (float64,
+    zero-norm guard)."""
+    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
+
+    def assign_with_vec(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(final_ref)
+        X = _quantize(_stack(df[emb_col]))
+        out = df[[id_col, emb_col]].copy()
+        out["cluster"] = _labels(X, m).astype(np.int64)
+        return out
+
+    def drop_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        mat = _stack(g[emb_col]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sim = unit @ unit.T
+        lower = np.tril(np.ones(sim.shape, dtype=bool), k=-1)
+        dropped = ((sim >= threshold) & lower).any(axis=1)
+        return g.loc[~dropped, [id_col, "cluster"]]
+
+    return (
+        ds.map_batches(assign_with_vec, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(drop_in_cluster, batch_format="pandas")
+    )
