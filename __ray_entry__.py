@@ -63,11 +63,15 @@ _FINGERPRINT_SQL = r"""
         """
 
 
-def _training_corpus_sql() -> str:
+def _training_corpus_sql(extra_pred: str = "") -> str:
     """The composite pipeline's DuckDB twin: quality-gated stats →
     md5 exact dedup AMONG SURVIVORS (min doc_id wins) → langid +
     fingerprint joined back by doc_id. Column set and order =
-    pipelines/training_corpus.py:CORPUS_COLUMNS."""
+    pipelines/training_corpus.py:CORPUS_COLUMNS. ``extra_pred``
+    injects additional per-doc gate predicates into the kept CTE
+    (the full-composite variant composes the repetition and decontam
+    subqueries here — dedup winners are then elected among the rows
+    passing ALL gates, exactly as the engine orders its stages)."""
     stats_sql = f"""
             SELECT doc_id, text,
                    CAST(length(text) AS BIGINT) AS n_chars,
@@ -89,6 +93,7 @@ def _training_corpus_sql() -> str:
               AND n_chars * 10 >= 20 * n_words
               AND n_punct * 10 <= 3 * n_words
               AND n_stop * 100 >= 2 * n_words
+              {extra_pred}
         ),
         dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
         lang AS ({_langid_sql()}),
@@ -279,6 +284,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near_dedup=False: this query is the SQL-expressible spine of
         # the composite; the near-dup stage is pytest-covered instead
         return training_corpus_ds(ds, near_dedup=False)
+
+    def q_training_corpus_full(sf_dir: str):
+        # the composite with BOTH round-3 gates live: Gopher repetition
+        # filter + benchmark decontamination (md5-prefix bench subset);
+        # per-doc pure predicates, so the oracle composes the existing
+        # repetition/decontam subqueries into the kept CTE
+        from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        _, bench = _bench_docs(sf_dir)
+        return training_corpus_ds(
+            ds, near_dedup=False, repetition=True, decontam_bench=bench
+        )
 
     def q_near_dedup(sf_dir: str):
         import ray.data
@@ -740,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
+        "training_corpus_full": q_training_corpus_full,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
@@ -1690,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
         # — each fragment is the already-verified oracle of its
         # standalone query, composed by doc_id joins
         "training_corpus": _training_corpus_sql(),
+        "training_corpus_full": _training_corpus_sql(extra_pred=f"""
+              AND doc_id IN ({_repetition_filter_sql()})
+              AND doc_id IN ({_decontam_survivors_sql()})"""),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),

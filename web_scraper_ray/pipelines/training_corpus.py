@@ -49,16 +49,22 @@ def training_corpus_ds(
     near_dedup: bool = False,
     jaccard_threshold: float = 0.5,
     langid_concurrency: int = 2,
+    repetition: bool = False,
+    decontam_bench: Optional[ray.data.Dataset] = None,
+    decontam_n: int = 8,
     **quality_kwargs,
 ) -> ray.data.Dataset:
     """documents(id, text) → the curated corpus Dataset (CORPUS_COLUMNS).
 
     Stage order matters and is part of the semantics: the quality gate
     runs FIRST (cheap, vectorized, prunes most rows before anything
-    shuffles), exact dedup runs over the survivors (min id per md5),
-    near-dup removal (optional) over the exact-deduped set, and the
-    labeling stages (langid actor pool, fingerprint, token counts ride
-    along from the gate) run last, over the smallest set."""
+    shuffles), then the optional pure-filter gates — Gopher repetition
+    (``repetition=True``) and benchmark decontamination
+    (``decontam_bench`` = the eval-set documents table) — still before
+    anything shuffles; exact dedup runs over the survivors (min id per
+    md5), near-dup removal (optional) over the exact-deduped set, and
+    the labeling stages (langid actor pool, fingerprint, token counts
+    ride along from the gate) run last, over the smallest set."""
 
     def gate_keep_text(df: pd.DataFrame) -> pd.DataFrame:
         stats = text_stats_batch(df)
@@ -68,6 +74,15 @@ def training_corpus_ds(
     gated = docs.select_columns([id_col, "text"]).map_batches(
         gate_keep_text, batch_format="pandas"
     )
+    if repetition:
+        from ..ops.text import repetition_filter
+
+        gated = repetition_filter(gated)
+    if decontam_bench is not None:
+        from ..ops.decontam import decontaminate
+
+        gated = decontaminate(gated, decontam_bench, n=decontam_n,
+                              id_col=id_col)
     deduped = exact_dedup(gated, text_col="text", id_col=id_col)
     if near_dedup:
         deduped = remove_near_duplicates(
