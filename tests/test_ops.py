@@ -766,3 +766,40 @@ def test_semdedup_drops_planted_copies(ray_session):
     assert all(i in kept for i in range(10))
     # random 8-dim unit vectors essentially never hit cos >= 0.95
     assert len(kept) == 120
+
+
+def test_paragraph_dedup_matches_sequential_model(ray_session):
+    """Randomized corpora vs a sequential first-occurrence-wins model."""
+    import numpy as np
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import paragraph_dedup
+
+    def model(docs):
+        seen, out = set(), {}
+        for doc_id, text in docs:
+            kept = []
+            for p in (text or "").split("\n\n"):
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            out[doc_id] = "\n\n".join(kept)
+        return out
+
+    rng = np.random.RandomState(31)
+    for trial in range(5):
+        vocab = [f"para {w}" for w in range(rng.randint(2, 12))]
+        vocab += ["", "  ", "x\ny"]  # empties and inner newlines
+        docs = []
+        for i in range(rng.randint(1, 40)):
+            n = rng.randint(0, 6)
+            docs.append(
+                (i, "\n\n".join(vocab[j] for j in rng.randint(0, len(vocab), n)))
+            )
+        expect = model(docs)
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in docs]
+        ).repartition(3)
+        got = paragraph_dedup(ds, mode="bucketed", n_buckets=4).to_pandas()
+        got = dict(zip(got["doc_id"], got["text"]))
+        assert got == expect, f"trial {trial}"
