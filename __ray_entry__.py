@@ -554,6 +554,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return repetition_filter(ds).select_columns(["doc_id"])
 
+    def q_doc_frequency(sf_dir: str):
+        from web_scraper_ray.ops.text import doc_frequency
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_frequency(ds)
+
+    def q_tfidf_topk(sf_dir: str):
+        from web_scraper_ray.ops.text import tfidf_topk
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return tfidf_topk(ds, k=5)
+
     def q_para_dedup(sf_dir: str):
         # corpus-wide paragraph dedup: first (doc_id, position)
         # occurrence of each distinct paragraph wins; docs rebuilt
@@ -782,6 +798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
         "para_dedup": q_para_dedup,
+        "doc_frequency": q_doc_frequency,
+        "tfidf_topk": q_tfidf_topk,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
@@ -1208,6 +1226,49 @@ def _para_dedup_sql() -> str:
                                      ORDER BY p) AS text
                    FROM kept WHERE rn = 1 GROUP BY doc_id) k
         USING (doc_id)
+    """
+
+
+#: document-frequency / tf-df CTEs (ASCII-whitespace tokens — the
+#: decontam token class). score = tf/df is ONE correctly-rounded IEEE
+#: double division on both sides, so the ranking replays bit-exactly.
+_DF_SQL = """
+        SELECT t AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''),
+                                               '[^ \t\n\r\f\v]+')) AS t
+              FROM documents)
+        GROUP BY t
+"""
+
+
+def _tfidf_topk_sql(k: int = 5) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(COALESCE(text, ''),
+                                             '[^ \t\n\r\f\v]+')) AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, t
+        ),
+        dfreq AS (
+            SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY t
+        ),
+        r AS (
+            SELECT tf.doc_id, tf.t AS token, tf.tf, dfreq.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE)
+                                / CAST(dfreq.df AS DOUBLE) DESC,
+                                tf.t ASC) AS rank
+            FROM tf JOIN dfreq ON tf.t = dfreq.t
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df
+        FROM r WHERE rank <= {k}
     """
 
 
@@ -1652,6 +1713,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "repetition_filter": _repetition_filter_sql(),
         "para_dedup": _para_dedup_sql(),
+        "doc_frequency": _DF_SQL,
+        "tfidf_topk": _tfidf_topk_sql(),
         "pii_redact": _pii_redact_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(),

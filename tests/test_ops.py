@@ -803,3 +803,26 @@ def test_paragraph_dedup_matches_sequential_model(ray_session):
         got = paragraph_dedup(ds, mode="bucketed", n_buckets=4).to_pandas()
         got = dict(zip(got["doc_id"], got["text"]))
         assert got == expect, f"trial {trial}"
+
+
+def test_doc_frequency_and_tfidf(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.text import doc_frequency, tfidf_topk
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a a b rare"},
+            {"doc_id": 1, "text": "a b b"},
+            {"doc_id": 2, "text": "a"},
+        ]
+    ).repartition(2)
+    dfreq = doc_frequency(ds).to_pandas().set_index("token")["df"]
+    assert dfreq.to_dict() == {"a": 3, "b": 2, "rare": 1}
+    top = tfidf_topk(ds, k=2).to_pandas()
+    d0 = top.loc[top["doc_id"] == 0].sort_values("rank")
+    # doc 0 scores: rare 1/1=1.0 > a 2/3 > b 1/2
+    assert d0["token"].tolist() == ["rare", "a"]
+    assert d0["tf"].tolist() == [1, 2] and d0["df"].tolist() == [1, 3]
+    d2 = top.loc[top["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["token"] == "a"

@@ -355,3 +355,106 @@ def redact_pii(ds, text_col: str = "text") -> "ray.data.Dataset":
     return ds.map_batches(
         lambda df: pii_redact_batch(df, text_col), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics: document frequency + tf/df ranking
+
+#: ASCII-whitespace token runs — the decontam/repetition token class
+_DF_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _doc_token_pairs(df: pd.DataFrame, id_col: str,
+                     text_col: str) -> pd.DataFrame:
+    """Distinct (doc, token) pairs of a batch (flat-array explode —
+    one C-level findall per row, no per-token Python loop)."""
+    token_lists = [_DF_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                       count=len(token_lists))
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    flat = [tok for lst in token_lists for tok in lst]
+    return pd.DataFrame({id_col: ids, "token": flat}).drop_duplicates()
+
+
+def doc_frequency(ds, id_col: str = "doc_id",
+                  text_col: str = "text") -> "ray.data.Dataset":
+    """Vocabulary-wide document frequency: (token, df) where ``df`` =
+    number of documents containing the token at least once.
+
+    Scale shape: each batch pre-aggregates its distinct (doc, token)
+    pairs into LOCAL (token, partial-count) rows — the combiner
+    pattern — so the single ``groupby(token)`` all-to-all moves one
+    row per (token, batch), never one per occurrence."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _doc_token_pairs(df, id_col, text_col)
+        cnt = pairs.groupby("token", sort=False).size()
+        return pd.DataFrame(
+            {"token": cnt.index.to_numpy(),
+             "n": cnt.to_numpy().astype("int64")}
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="df"))
+    )
+
+
+def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> "ray.data.Dataset":
+    """Per-document top-k tokens by df-normalized term frequency
+    (score = tf / df — rarer-in-corpus tokens rank higher; a single
+    correctly-rounded IEEE division, so numpy and the SQL twin produce
+    the bit-identical double and the ranking replays exactly; ties by
+    token ascending). Returns (id, rank, token, tf, df).
+
+    Two phases, ONE shuffle total: the :func:`doc_frequency` table is
+    folded into an object-store dict and broadcast (fits memory for
+    real vocabularies after the tokenizer's run-class collapses
+    whitespace; at open-vocabulary web scale shard it by token hash
+    and bucket-join instead — documented trade), then scoring is a
+    pure per-batch scan: local tf counts, dict-mapped df, vectorized
+    per-doc head(k)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    tabs = [t for t in ray.get(doc_frequency(
+        ds, id_col=id_col, text_col=text_col).to_arrow_refs())
+        if t.num_rows]
+    dfm = {}
+    if tabs:
+        t = pa.concat_tables(tabs)
+        dfm = dict(zip(t.column("token").to_pylist(),
+                       t.column("df").to_pylist()))
+    ref = ray.put(dfm)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        token_lists = [_DF_TOKEN_RE.findall(t)
+                       for t in df[text_col].fillna("")]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                           count=len(token_lists))
+        ids = np.repeat(df[id_col].to_numpy(), lens)
+        flat = [tok for lst in token_lists for tok in lst]
+        tf = (
+            pd.DataFrame({id_col: ids, "token": flat})
+            .groupby([id_col, "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["df"] = tf["token"].map(lookup).astype("int64")
+        tf["score"] = tf["tf"].astype("float64") / tf["df"].astype("float64")
+        tf = tf.sort_values([id_col, "score", "token"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = tf.groupby(id_col, sort=False).head(k).copy()
+        top["rank"] = top.groupby(id_col, sort=False).cumcount() + 1
+        top["tf"] = top["tf"].astype("int64")
+        return top[[id_col, "rank", "token", "tf", "df"]]
+
+    return ds.map_batches(score, batch_format="pandas")
