@@ -418,20 +418,23 @@ def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id",
     and bucket-join instead — documented trade), then scoring is a
     pure per-batch scan: local tf counts, dict-mapped df, vectorized
     per-doc head(k)."""
-    import pyarrow as pa
-
     import ray
     import ray.data
 
-    tabs = [t for t in ray.get(doc_frequency(
-        ds, id_col=id_col, text_col=text_col).to_arrow_refs())
-        if t.num_rows]
-    dfm = {}
-    if tabs:
+    @ray.remote(num_cpus=0)
+    def _fold(*tables) -> dict:
+        # runs as a task: the DRIVER never holds the vocabulary
+        import pyarrow as pa
+
+        tabs = [t for t in tables if t.num_rows]
+        if not tabs:
+            return {}
         t = pa.concat_tables(tabs)
-        dfm = dict(zip(t.column("token").to_pylist(),
-                       t.column("df").to_pylist()))
-    ref = ray.put(dfm)
+        return dict(zip(t.column("token").to_pylist(),
+                        t.column("df").to_pylist()))
+
+    ref = _fold.remote(*doc_frequency(
+        ds, id_col=id_col, text_col=text_col).to_arrow_refs())
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
