@@ -554,6 +554,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return repetition_filter(ds).select_columns(["doc_id"])
 
+    def q_normalize_text(sf_dir: str):
+        from web_scraper_ray.ops.text import normalize_text
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return normalize_text(ds).select_columns(["doc_id", "norm_text"])
+
     def q_doc_frequency(sf_dir: str):
         from web_scraper_ray.ops.text import doc_frequency
 
@@ -798,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
         "para_dedup": q_para_dedup,
+        "normalize_text": q_normalize_text,
         "doc_frequency": q_doc_frequency,
         "tfidf_topk": q_tfidf_topk,
         "pii_redact": q_pii_redact,
@@ -1713,6 +1722,18 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "repetition_filter": _repetition_filter_sql(),
         "para_dedup": _para_dedup_sql(),
+        # normalize: explicit A-Z translate (NOT lower() — full-Unicode
+        # case mapping is engine/locale-hazardous), ASCII-ws collapse,
+        # space-strip; matches ops/text.py:normalize_text_batch
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       translate(COALESCE(text, ''),
+                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz'),
+                       '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text
+            FROM documents
+        """,
         "doc_frequency": _DF_SQL,
         "tfidf_topk": _tfidf_topk_sql(),
         "pii_redact": _pii_redact_sql(),

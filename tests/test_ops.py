@@ -826,3 +826,23 @@ def test_doc_frequency_and_tfidf(ray_session):
     assert d0["tf"].tolist() == [1, 2] and d0["df"].tolist() == [1, 3]
     d2 = top.loc[top["doc_id"] == 2]
     assert len(d2) == 1 and d2.iloc[0]["token"] == "a"
+
+
+def test_normalize_text_cases(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.text import normalize_text
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "  MiXeD   Case\t\ttext \n more  "},
+            {"doc_id": 1, "text": None},
+            {"doc_id": 2, "text": "Ümlaut İ stays"},  # non-ASCII untouched
+        ]
+    )
+    out = (
+        normalize_text(ds).to_pandas().set_index("doc_id")["norm_text"]
+    )
+    assert out[0] == "mixed case text more"
+    assert out[1] == ""
+    assert out[2] == "Ümlaut İ stays"

@@ -461,3 +461,34 @@ def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id",
         return top[[id_col, "rank", "token", "tf", "df"]]
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text normalization (the CCNet-style pre-hash canonicalization)
+
+_NORM_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_NORM_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_NORM_TABLE = str.maketrans(_NORM_UPPER, _NORM_LOWER)
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text_batch(df: pd.DataFrame,
+                         text_col: str = "text") -> pd.DataFrame:
+    """Canonicalize text before hashing/dedup (the CCNet recipe's
+    deterministic core): ASCII-lowercase (explicit A-Z→a-z translate —
+    full-Unicode case mapping is locale-hazardous and diverges between
+    engines), collapse ASCII-whitespace runs to one space, strip
+    leading/trailing spaces. Adds ``norm_text``; pure vectorized."""
+    out = df.copy()
+    s = out[text_col].fillna("").str.translate(_NORM_TABLE)
+    s = s.str.replace(_ASCII_WS_RE, " ", regex=True).str.strip(" ")
+    out["norm_text"] = s
+    return out
+
+
+def normalize_text(ds, text_col: str = "text") -> "ray.data.Dataset":
+    """Dataset-level normalization: pure map_batches, no shuffle."""
+    return ds.map_batches(
+        lambda df: normalize_text_batch(df, text_col),
+        batch_format="pandas",
+    )
