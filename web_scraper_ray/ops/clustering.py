@@ -56,6 +56,10 @@ def _means(sums: np.ndarray, cnts: np.ndarray) -> np.ndarray:
 
 
 def _stack(series: pd.Series) -> np.ndarray:
+    if not len(series):
+        # empty blocks happen after upstream filters; 0 x 0 keeps the
+        # downstream matrix ops shape-valid (callers guard on len)
+        return np.empty((0, 0), dtype=np.float64)
     return np.stack([np.asarray(v) for v in series])
 
 
@@ -77,6 +81,11 @@ def _fit_centroids(
         raise ValueError(f"bad k={k} / iters={iters}")
 
     init = ds.sort(id_col).limit(k).to_pandas()
+    if len(init) < k:
+        raise ValueError(
+            f"k={k} exceeds the dataset's {len(init)} rows — "
+            "k-means needs at least k vectors for its id-ordered init"
+        )
     sums = _quantize(_stack(init[emb_col]))
     cnts = np.ones(k, dtype=np.int64)
 
@@ -84,6 +93,8 @@ def _fit_centroids(
         ref = ray.put((sums, cnts))
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"cl": [], "n": [], "s": []})
             s, c = ray.get(ref)
             X = _quantize(_stack(df[emb_col]))
             a = _labels(X, _means(s, c))
@@ -119,6 +130,10 @@ def kmeans_embeddings(
     final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: df[id_col], "cluster": pd.Series([], dtype="int64")}
+            )
         m = ray.get(final_ref)
         X = _quantize(_stack(df[emb_col]))
         return pd.DataFrame(
@@ -155,9 +170,12 @@ def semdedup(
     final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
 
     def assign_with_vec(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, emb_col]].copy()
+        if not len(df):
+            out["cluster"] = pd.Series([], dtype="int64")
+            return out
         m = ray.get(final_ref)
         X = _quantize(_stack(df[emb_col]))
-        out = df[[id_col, emb_col]].copy()
         out["cluster"] = _labels(X, m).astype(np.int64)
         return out
 

@@ -59,10 +59,10 @@ def benchmark_ngram_ref(bench_ds: "ray.data.Dataset", n: int = 8,
                         text_col: str = "text"):
     """Distinct n-gram set of the benchmark table as an object-store
     ref (``ray.put`` once; read zero-copy by every corpus task). The
-    driver-side ``take_all`` here is bounded by the benchmark size —
-    a fixed eval set, not corpus-scaled — which is the documented
-    small-side-broadcast regime (vs the bucketed joins used for
-    corpus-sized sets elsewhere in this package)."""
+    driver-side Arrow-block fold here is bounded by the benchmark
+    size — a fixed eval set, not corpus-scaled — which is the
+    documented small-side-broadcast regime (vs the bucketed joins used
+    for corpus-sized sets elsewhere in this package)."""
 
     import pyarrow as pa
 

@@ -94,16 +94,23 @@ def stratified_sample(
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         h = _key_hash(df[key_col], seed)
         # per-UNIQUE-group lookup (vectorized back out via the codes),
-        # so the row path is pure integer numpy
+        # so the row path is pure integer numpy. factorize codes null
+        # group values as -1; one extra sentinel slot at the END of the
+        # lookup arrays carries the default-rate behavior, and numpy's
+        # -1 fancy-index lands exactly there.
         codes, uniques = pd.factorize(df[group_col], sort=False)
-        thr_u = np.empty(len(uniques), dtype=np.uint64)
-        full_u = np.empty(len(uniques), dtype=bool)
+        thr_u = np.empty(len(uniques) + 1, dtype=np.uint64)
+        full_u = np.empty(len(uniques) + 1, dtype=bool)
         for i, g in enumerate(uniques):
             if g in keep_all or (g not in thresholds and default_thr is None):
                 thr_u[i], full_u[i] = 0, True
             else:
                 thr_u[i] = thresholds.get(g, default_thr)
                 full_u[i] = False
+        if default_thr is None:
+            thr_u[-1], full_u[-1] = 0, True
+        else:
+            thr_u[-1], full_u[-1] = default_thr, False
         return df.loc[full_u[codes] | (h < thr_u[codes])]
 
     return ds.map_batches(keep, batch_format="pandas")

@@ -167,9 +167,9 @@ def repetition_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataF
         dmass[dup.index.to_numpy()] = dup.to_numpy()
         return dmass, total
 
-    lines = s.str.split("\n")
+    lines = s.str.split("\n", regex=False)
     lines.index = pd.RangeIndex(len(s))
-    paras = s.str.split("\n\n")
+    paras = s.str.split("\n\n", regex=False)
     paras.index = pd.RangeIndex(len(s))
     dl, tl = dup_mass(lines)
     dp, tp = dup_mass(paras)
@@ -360,8 +360,10 @@ def redact_pii(ds, text_col: str = "text") -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 # corpus vocabulary statistics: document frequency + tf/df ranking
 
-#: ASCII-whitespace token runs — the decontam/repetition token class
-_DF_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+#: ASCII-whitespace token runs — the SAME compiled object as the
+#: decontam/repetition token class (one parity-load-bearing regex,
+#: one definition)
+from web_scraper_ray.ops.decontam import _TOKEN_RE as _DF_TOKEN_RE  # noqa: E402
 
 
 def _doc_token_pairs(df: pd.DataFrame, id_col: str,
