@@ -249,6 +249,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_sample(ds, "doc_id", rate=0.25, seed=17)
 
+    def q_dup_spans(sf_dir: str):
+        # Lee-et-al-style duplicated-substring mass per document
+        # (8-token windows shared across documents)
+        from web_scraper_ray.ops.spans import duplicate_span_stats
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return duplicate_span_stats(ds, n=8)
+
+    def q_dup_span_filter(sf_dir: str):
+        # drop docs whose duplicated-window mass exceeds 10% of tokens
+        from web_scraper_ray.ops.spans import duplicate_span_filter
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        return duplicate_span_filter(
+            ds, n=8, max_dup_fraction_pct=10
+        ).select_columns(["doc_id", "source"])
+
+    def q_incremental_dedup(sf_dir: str):
+        # "dedup tonight's crawl against the corpus we already hold":
+        # the prior corpus is a deterministic 30% hash-sample of
+        # documents; the new batch is the full table — survivors are
+        # exactly the docs whose text is absent from the prior side
+        from web_scraper_ray.ops.dedup import dedup_against
+        from web_scraper_ray.ops.sampling import hash_sample
+
+        new = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source", "n_chars"],
+        )
+        prior = hash_sample(
+            sized_read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]),
+            "doc_id", rate=0.3, seed=29,
+        )
+        return dedup_against(new, prior).select_columns(
+            ["doc_id", "source", "n_chars"]
+        )
+
     def q_stratified_sample(sf_dir: str):
         # domain rebalancing: downsample src0 hard, src1 mildly, keep
         # src2 whole (exercises the rate>=1 keep-all branch), default
@@ -781,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_pieces": q_token_pieces,
         "hash_sample": q_hash_sample,
+        "dup_spans": q_dup_spans,
+        "dup_span_filter": q_dup_span_filter,
+        "incremental_dedup": q_incremental_dedup,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
@@ -1092,6 +1138,44 @@ def _decontam_ctes(n: int = 8) -> str:
                 SELECT DISTINCT c.doc_id, c.g
                 FROM cgrams c JOIN bgrams b USING (g)
             ) GROUP BY doc_id
+        )"""
+
+
+def _dup_span_ctes(n: int = 8) -> str:
+    """Shared CTEs for ops/spans.py:duplicate_span_stats — ending in
+    ``spanstat(doc_id, n_tokens, n_dup_tokens)``. The engine matches
+    md5-upper-half gram hashes; the SQL matches gram STRINGS — equal
+    semantics absent a 2^-64 collision. Window starts are 1-based on
+    both sides (DuckDB list subscripts)."""
+    return f"""tk AS (
+            SELECT doc_id,
+                   regexp_extract_all(COALESCE(text, ''),
+                                      '[^ \t\n\r\f\v]+') AS tk
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, p, array_to_string(tk[p:p+{n - 1}], ' ') AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk)-{n}+1)) AS p
+                  FROM tk)
+        ),
+        dupg AS (
+            SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS c
+                           FROM win GROUP BY g)
+            WHERE c >= 2
+        ),
+        hits AS (SELECT DISTINCT doc_id, p FROM win JOIN dupg USING (g)),
+        cov AS (
+            SELECT doc_id, COUNT(DISTINCT q) AS nd
+            FROM (SELECT doc_id, unnest(generate_series(p, p+{n - 1})) AS q
+                  FROM hits)
+            GROUP BY doc_id
+        ),
+        spanstat AS (
+            SELECT t.doc_id,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(cov.nd, 0) AS BIGINT) AS n_dup_tokens
+            FROM tk t LEFT JOIN cov USING (doc_id)
         )"""
 
 
@@ -1759,6 +1843,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
                   < {int(0.25 * (1 << 64))}::UBIGINT
+        """,
+        # duplicate-span family (ops/spans.py): cross-document 8-token
+        # windows — stats and the 10%-mass filter
+        "dup_spans": f"""
+            WITH {_dup_span_ctes(8)}
+            SELECT doc_id, n_tokens, n_dup_tokens FROM spanstat
+        """,
+        "dup_span_filter": f"""
+            WITH {_dup_span_ctes(8)}
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN spanstat s USING (doc_id)
+            WHERE s.n_dup_tokens * 100 <= 10 * s.n_tokens
+        """,
+        # incremental dedup (ops/dedup.py:dedup_against): prior corpus
+        # = the seed-29 30% hash-sample; survivors are new-batch rows
+        # whose md5-upper-half content key is absent from the prior
+        # side (same int64 key the engine ships through subtract_ids)
+        "incremental_dedup": f"""
+            WITH prior AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(COALESCE(text, '')), 1, 16))::UBIGINT AS k
+                FROM documents
+                WHERE ('0x' || substr(md5('29:' || doc_id), 1, 16))::UBIGINT
+                      < {int(0.3 * (1 << 64))}::UBIGINT
+            )
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE ('0x' || substr(md5(COALESCE(text, '')), 1, 16))::UBIGINT
+                  NOT IN (SELECT k FROM prior)
         """,
         # stratified_sample: same hash gate, per-group thresholds
         # (thresholds computed by the same int(rate * 2^64) the engine

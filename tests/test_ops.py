@@ -846,3 +846,90 @@ def test_normalize_text_cases(ray_session):
     assert out[0] == "mixed case text more"
     assert out[1] == ""
     assert out[2] == "Ümlaut İ stays"
+
+
+def test_dedup_against_prior(ray_session):
+    """Incremental dedup: new-batch rows survive iff their text is
+    absent from the prior corpus — prior-internal duplicates and
+    new-internal duplicates must not confuse the anti-join, and both
+    subtract regimes must agree."""
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import dedup_against
+
+    prior = ray.data.from_items(
+        [
+            {"pid": 0, "text": "already ingested document one"},
+            {"pid": 1, "text": "already ingested document two"},
+            {"pid": 2, "text": "already ingested document two"},  # prior dup
+        ]
+    )
+    new = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": "already ingested document one"},  # drop
+            {"doc_id": 11, "text": "brand new document alpha"},       # keep
+            {"doc_id": 12, "text": "already ingested document two"},  # drop
+            {"doc_id": 13, "text": "brand new document alpha"},       # keep (new-internal dup: NOT collapsed here)
+            {"doc_id": 14, "text": "brand new document beta"},        # keep
+        ]
+    )
+    for mode in ("broadcast", "bucketed"):
+        out = dedup_against(new, prior, mode=mode, n_buckets=5).to_pandas()
+        assert sorted(out["doc_id"]) == [11, 13, 14], mode
+        assert set(out.columns) == {"doc_id", "text"}, mode
+
+    # empty prior keeps everything
+    empty_prior = prior.filter(lambda r: False)
+    out = dedup_against(new, empty_prior).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 11, 12, 13, 14]
+
+
+def test_duplicate_span_stats_planted(ray_session):
+    """Hand-computed coverage: doc 0 and 1 share one 4-token window
+    (overlapping windows must union, not double-count); docs shorter
+    than n have no windows; empty text yields 0 tokens."""
+    import ray.data
+
+    from web_scraper_ray.ops.spans import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens → 2 windows @ n=4
+    rows = [
+        {"doc_id": 0, "text": shared + " zeta0 eta0 theta0"},
+        {"doc_id": 1, "text": "prefix1 " + shared},
+        {"doc_id": 2, "text": "tiny doc"},          # < n tokens
+        {"doc_id": 3, "text": ""},                  # empty
+        {"doc_id": 4, "text": "totally unrelated words forming nothing shared here"},
+    ]
+    ds = ray.data.from_items(rows)
+    expect = {
+        # both 4-windows of `shared` hit in docs 0 and 1; union of
+        # [1,4] and [2,5] (doc 0) = 5 tokens, [2,5]+[3,6] (doc 1) = 5
+        0: (8, 5),
+        1: (6, 5),
+        2: (2, 0),
+        3: (0, 0),
+        4: (7, 0),
+    }
+    for mode in ("broadcast", "bucketed"):
+        out = duplicate_span_stats(ds, n=4, mode=mode, n_buckets=5).to_pandas()
+        got = {int(r.doc_id): (int(r.n_tokens), int(r.n_dup_tokens))
+               for r in out.itertuples()}
+        assert got == expect, mode
+
+
+def test_duplicate_span_filter_planted(ray_session):
+    import ray.data
+
+    from web_scraper_ray.ops.spans import duplicate_span_filter
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        {"doc_id": 0, "text": shared},  # 100% duplicated → dropped
+        {"doc_id": 1, "text": shared + " " + " ".join(f"u{i}" for i in range(32))},
+        {"doc_id": 2, "text": "no overlap with anything else at all kept"},
+    ]
+    out = duplicate_span_filter(
+        ray.data.from_items(rows), n=8, max_dup_fraction_pct=50
+    ).to_pandas()
+    # doc 1: 8 of 40 tokens duplicated (20%) → kept
+    assert sorted(out["doc_id"]) == [1, 2]

@@ -94,6 +94,12 @@ def subtract_ids(
     import pyarrow as pa
 
     corpus_schema = ds.schema().base_schema
+    if not isinstance(corpus_schema, pa.Schema):
+        # pandas-block upstream (a map_batches(batch_format="pandas")
+        # stage): route blocks through Arrow once so the drop-side
+        # null-column templating below sees typed Arrow fields
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        corpus_schema = ds.schema().base_schema
 
     def tag_corpus(batch: "pa.Table") -> "pa.Table":
         bkt = pa.array(
@@ -198,6 +204,80 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# incremental (cross-corpus) exact dedup
+
+def _content_keys(texts) -> np.ndarray:
+    """int64 view of the upper 64 bits of md5(text) — the compact
+    cross-corpus content key (collision odds 2^-64 per pair; the SQL
+    twin computes the identical integer via
+    ``('0x' || substr(md5(text), 1, 16))::UBIGINT``)."""
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(("" if t is None else t).encode("utf-8")).digest()[:8],
+            "big")
+         for t in texts),
+        dtype=np.uint64, count=len(texts),
+    ).view(np.int64)
+
+
+def dedup_against(
+    new_ds: ray.data.Dataset,
+    prior_ds: ray.data.Dataset,
+    text_col: str = "text",
+    prior_text_col: str | None = None,
+    mode: str = "auto",
+    n_buckets: int = 64,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Incremental dedup: rows of ``new_ds`` whose content does NOT
+    already appear in ``prior_ds`` — the "dedup this crawl against the
+    corpus we already have" op that a continuously-fed training
+    pipeline runs on every ingest batch, WITHOUT re-shuffling the
+    prior corpus.
+
+    Both sides are reduced to compact int64 content keys
+    (md5-upper-half of ``text``); the prior side additionally dedupes
+    its keys per batch (a combiner — duplicates inside the prior
+    corpus add nothing to the anti-join). The filter itself is
+    :func:`subtract_ids`' two regimes: a zero-shuffle object-store
+    broadcast while the prior key set fits (``broadcast_limit``), a
+    key-bucketed anti-join when the prior corpus is web-scale — in
+    both, the only data that ever moves is 8-byte keys, never text.
+
+    Exactness: first-occurrence-wins ACROSS corpora (prior always
+    wins); ties INSIDE ``new_ds`` are NOT collapsed here — compose
+    with :func:`exact_dedup` first when the ingest batch itself may
+    contain duplicates. Oracle twin:
+    ``__ray_entry__.oracle_sql()['incremental_dedup']``."""
+    import pyarrow as pa
+
+    prior_text_col = prior_text_col or text_col
+    key = "__ckey"
+
+    # Arrow end-to-end: append/drop the key column on zero-copy Arrow
+    # blocks (no pandas round-trip of the text payload), which also
+    # keeps the Dataset schema an Arrow schema for subtract_ids'
+    # bucketed regime
+    def prior_key_batch(batch: "pa.Table") -> "pa.Table":
+        k = np.unique(_content_keys(batch[prior_text_col].to_pylist()))
+        return pa.table({key: pa.array(k, pa.int64())})
+
+    def add_key(batch: "pa.Table") -> "pa.Table":
+        k = _content_keys(batch[text_col].to_pylist())
+        return batch.append_column(key, pa.array(k, pa.int64()))
+
+    prior_keys = prior_ds.select_columns([prior_text_col]).map_batches(
+        prior_key_batch, batch_format="pyarrow")
+    keyed = new_ds.map_batches(add_key, batch_format="pyarrow")
+    kept = subtract_ids(keyed, prior_keys, id_col=key, drop_col=key,
+                        mode=mode, n_buckets=n_buckets,
+                        broadcast_limit=broadcast_limit)
+    return kept.map_batches(
+        lambda batch: batch.drop_columns([key]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # paragraph-level exact dedup (corpus-wide, first-occurrence-wins)
 
 def _paragraph_table(df: pd.DataFrame, text_col: str, id_col: str,
@@ -211,7 +291,10 @@ def _paragraph_table(df: pd.DataFrame, text_col: str, id_col: str,
     ``string_split``; an empty/null document yields ONE empty
     paragraph, as ``string_split('', sep)`` does."""
     texts = df[text_col].fillna("")
-    parts = texts.str.split(sep)
+    # regex=False: pandas would otherwise treat a multi-char sep as a
+    # REGEX, silently diverging from str.split / DuckDB string_split
+    # for seps with metacharacters
+    parts = texts.str.split(sep, regex=False)
     lens = parts.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     ids = np.repeat(df[id_col].to_numpy(), lens)
@@ -221,7 +304,11 @@ def _paragraph_table(df: pd.DataFrame, text_col: str, id_col: str,
     out = {id_col: ids, "p": p}
     if with_text:
         out["v"] = flat
-    out["h"] = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in flat]
+    else:
+        # the rebuild pass never reads 'h' — hash only on the
+        # decision pass, not twice per corpus
+        out["h"] = [hashlib.md5(v.encode("utf-8")).hexdigest()
+                    for v in flat]
     return pd.DataFrame(out)
 
 
