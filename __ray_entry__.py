@@ -249,6 +249,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hash_sample(ds, "doc_id", rate=0.25, seed=17)
 
+    def q_bm25_topk(sf_dir: str):
+        # lexical retrieval: fixed-point Okapi BM25, global top-10
+        from web_scraper_ray.ops.retrieval import bm25_topk
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return bm25_topk(ds, "dup merge window", k=10)
+
     def q_dup_spans(sf_dir: str):
         # Lee-et-al-style duplicated-substring mass per document
         # (8-token windows shared across documents)
@@ -824,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_pieces": q_token_pieces,
         "hash_sample": q_hash_sample,
+        "bm25_topk": q_bm25_topk,
         "dup_spans": q_dup_spans,
         "dup_span_filter": q_dup_span_filter,
         "incremental_dedup": q_incremental_dedup,
@@ -1139,6 +1149,62 @@ def _decontam_ctes(n: int = 8) -> str:
                 FROM cgrams c JOIN bgrams b USING (g)
             ) GROUP BY doc_id
         )"""
+
+
+def _bm25_topk_sql(terms: tuple[str, ...] = ("dup", "merge", "window"),
+                   k: int = 10) -> str:
+    """DuckDB twin of ops/retrieval.py:bm25_topk with k1=1.2, b=0.75.
+    Exact hash parity holds because every float step is replayed in
+    the engine's op order on correctly-rounded doubles (decimal
+    literals CAST to DOUBLE — DuckDB would otherwise run them as
+    DECIMAL arithmetic), ``ln`` is glibc-libm on both sides, and the
+    per-term score is floored to int64 BEFORE the cross-term sum, so
+    summation order cannot matter."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_extract_all(COALESCE(text, ''),
+                                      '[^ \t\n\r\f\v]+') AS tk
+            FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS tt FROM tk),
+        terms(term) AS (VALUES {values}),
+        tf AS (
+            SELECT t.doc_id, terms.term,
+                   CAST(len(list_filter(t.tk, w -> w = terms.term))
+                        AS BIGINT) AS tf,
+                   CAST(len(t.tk) AS BIGINT) AS dl
+            FROM tk t CROSS JOIN terms
+        ),
+        dfreq AS (
+            SELECT term,
+                   CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        sc AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(CAST(floor(
+                       ((ln((st.n - d.df + CAST(0.5 AS DOUBLE))
+                            / (d.df + CAST(0.5 AS DOUBLE)))
+                         * (CAST(tf.tf AS DOUBLE)
+                            * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+                        / (CAST(tf.tf AS DOUBLE)
+                           + CAST(1.2 AS DOUBLE)
+                             * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (CAST(tf.dl AS DOUBLE)
+                                     / (CAST(st.tt AS DOUBLE)
+                                        / CAST(st.n AS DOUBLE))))))
+                       * CAST(4294967296 AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS score_q
+            FROM tf JOIN dfreq d USING (term) CROSS JOIN st
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score_q FROM sc
+        ORDER BY score_q DESC, doc_id LIMIT {k}
+    """
 
 
 def _dup_span_ctes(n: int = 8) -> str:
@@ -1844,6 +1910,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
                   < {int(0.25 * (1 << 64))}::UBIGINT
         """,
+        # BM25 retrieval (ops/retrieval.py): fixed-point Okapi scores
+        "bm25_topk": _bm25_topk_sql(),
         # duplicate-span family (ops/spans.py): cross-document 8-token
         # windows — stats and the 10%-mass filter
         "dup_spans": f"""

@@ -933,3 +933,50 @@ def test_duplicate_span_filter_planted(ray_session):
     ).to_pandas()
     # doc 1: 8 of 40 tokens duplicated (20%) → kept
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_bm25_matches_sequential_reference(ray_session):
+    """Engine BM25 equals an independently-written sequential scorer
+    (same fixed-point contract), including docs with no query term
+    (score 0) and the global top-k ordering with id tie-breaks."""
+    import math
+
+    import ray.data
+
+    from web_scraper_ray.ops.retrieval import bm25_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple cherry"},
+        {"doc_id": 1, "text": "banana banana banana"},
+        {"doc_id": 2, "text": "cherry date elderberry fig grape"},
+        {"doc_id": 3, "text": "apple"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "apple banana apple cherry"},  # tie with 0
+    ]
+    k1, b = 1.2, 0.75
+    docs = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = ["apple", "banana"]
+    df_t = {t: sum(t in set(toks) for toks in docs.values()) for t in terms}
+
+    def ref_score(toks):
+        s = 0
+        for t in terms:
+            tf = float(toks.count(t))
+            idf = math.log((n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            ts = (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * (1.0 - b + b * (len(toks) / avgdl))
+            )
+            s += math.floor(ts * 4294967296.0)
+        return s
+
+    expected = sorted(
+        ((ref_score(t), d) for d, t in docs.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    out = bm25_topk(ray.data.from_items(rows), "apple banana", k=4).to_pandas()
+    got = list(zip(out["score_q"], out["doc_id"]))
+    assert got == [(s, d) for s, d in expected[:4]]
+    # a doc with no query terms scores exactly 0
+    assert ref_score(docs[2]) == 0
