@@ -167,6 +167,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_asof_last_purchase(sf_dir: str):
         return rel.last_purchase_asof(sf_dir)
 
+    def q_length_quantiles(sf_dir: str):
+        # exact percentiles of n_chars via the distributed histogram
+        from web_scraper_ray.ops.stats import exact_quantiles
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["n_chars"])
+        return exact_quantiles(ds, "n_chars", (25, 50, 75, 90, 99))
+
+    def q_purchase_window_events(sf_dir: str):
+        # interval (range) join: events ⋈ same-user purchase windows
+        return rel.events_in_purchase_windows(sf_dir, window_days=1)
+
     def q_user_running_totals(sf_dir: str):
         from web_scraper_ray.ops.streaming import ingest_events_incremental
 
@@ -823,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "events_hourly": q_events_hourly,
         "asof_last_purchase": q_asof_last_purchase,
+        "length_quantiles": q_length_quantiles,
+        "purchase_window_events": q_purchase_window_events,
         "user_running_totals": q_user_running_totals,
         "lang_counts": q_lang_counts,
         "source_concat": q_source_concat,
@@ -1676,6 +1690,30 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS last_purchase_ts
             FROM events
+        """,
+        # exact histogram quantiles (ops/stats.py:exact_quantiles):
+        # q-percentile = smallest v with cum count >= (q*N + 99) // 100
+        "length_quantiles": """
+            WITH vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY n_chars),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM vc),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST((SELECT MIN(v) FROM cum, nn
+                         WHERE cc >= (q.q_pct * nn.n + 99) // 100)
+                        AS BIGINT) AS value
+            FROM q
+        """,
+        # interval (range) join (ops/relational.py:interval_join):
+        # closed-window containment, purchase pairs with its own window
+        "purchase_window_events": """
+            SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND e.ts >= p.ts
+             AND e.ts <= p.ts + INTERVAL 1 DAY
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

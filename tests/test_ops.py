@@ -980,3 +980,61 @@ def test_bm25_matches_sequential_reference(ray_session):
     assert got == [(s, d) for s, d in expected[:4]]
     # a doc with no query terms scores exactly 0
     assert ref_score(docs[2]) == 0
+
+
+def test_interval_join_modes_agree(ray_session):
+    """Planted range join: closed bounds on both ends, many-to-many
+    (overlapping windows), keys missing on either side, and the
+    broadcast/bucketed regimes must produce identical pairs."""
+    import ray.data
+
+    from web_scraper_ray.ops.relational import interval_join
+
+    events = ray.data.from_items(
+        [
+            {"eid": 1, "k": 1, "t": 5},
+            {"eid": 2, "k": 1, "t": 10},   # on both window edges
+            {"eid": 3, "k": 1, "t": 15},
+            {"eid": 4, "k": 2, "t": 5},    # key with no windows
+            {"eid": 5, "k": 3, "t": 7},
+        ]
+    )
+    windows = ray.data.from_items(
+        [
+            {"wid": 10, "k": 1, "s": 0, "e": 10},   # eids 1, 2
+            {"wid": 11, "k": 1, "s": 10, "e": 20},  # eids 2, 3 (overlap)
+            {"wid": 12, "k": 3, "s": 8, "e": 9},    # no events inside
+            {"wid": 13, "k": 4, "s": 0, "e": 100},  # window with no events
+        ]
+    )
+    expect = {(1, 10), (2, 10), (2, 11), (3, 11)}
+    for mode in ("broadcast", "bucketed"):
+        out = interval_join(events, windows, key_col="k", ts_col="t",
+                            start_col="s", end_col="e", mode=mode,
+                            n_buckets=3).to_pandas()
+        assert set(zip(out["eid"], out["wid"])) == expect, mode
+        assert out["eid"].dtype == np.int64, mode
+
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(events, events, key_col="k", ts_col="t",
+                      start_col="s", end_col="e")
+
+
+def test_exact_quantiles_reference(ray_session):
+    """Quantile rule equals numpy cumulative-count reference on a
+    multiset with duplicates; q=100 hits the max; single-value column
+    is constant at every q."""
+    import ray.data
+
+    from web_scraper_ray.ops.stats import exact_quantiles
+
+    vals = [5] * 10 + [7] * 30 + [9] * 59 + [100]  # N = 100
+    ds = ray.data.from_items([{"x": v} for v in vals]).repartition(4)
+    out = exact_quantiles(ds, "x", (1, 10, 11, 40, 41, 99, 100))
+    got = dict(zip(out["q_pct"], out["value"]))
+    # cum: 5→10, 7→40, 9→99, 100→100; target = ceil(q*N/100) = q here
+    assert got == {1: 5, 10: 5, 11: 7, 40: 7, 41: 9, 99: 9, 100: 100}
+
+    one = ray.data.from_items([{"x": 3}] * 7)
+    out = exact_quantiles(one, "x", (25, 50, 99))
+    assert set(out["value"]) == {3}

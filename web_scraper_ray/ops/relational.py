@@ -231,3 +231,161 @@ def source_stats(sf_dir: str) -> ray.data.Dataset:
             Max("n_chars", alias_name="max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join — an operator Ray Data has no native form of
+
+@ray.remote(num_cpus=0)
+def _fold_frame(*tables) -> pd.DataFrame:
+    """Concatenate Arrow blocks into ONE pandas frame in the object
+    store (runs as a task — the driver never holds it)."""
+    live = [t for t in tables if t.num_rows]
+    if live:
+        return pa.concat_tables(live).to_pandas()
+    for t in tables:  # all empty: keep the column schema if any block has one
+        if t.schema.names:
+            return t.to_pandas()
+    return pd.DataFrame()
+
+
+def interval_join(
+    ds: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    mode: str = "auto",
+    n_buckets: int = 32,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Range join: every ``ds`` row pairs with EVERY ``intervals`` row
+    sharing its ``key_col`` whose ``[start_col, end_col]`` contains
+    ``ts_col`` (closed on both ends, many-to-many). Ray Data has no
+    native range join; this is the documented composition:
+
+    * ``broadcast`` (interval set ≤ ``broadcast_limit`` rows — the
+      dimension-table regime): the interval table is folded into ONE
+      object-store frame by a Ray task; each batch does a vectorized
+      pandas merge on ``key_col`` + a range mask. No shuffle of ``ds``.
+    * ``bucketed``: both sides co-locate by ``key_col % n_buckets``
+      and the merge runs per group — the interval side is shuffled
+      once, ``ds`` once, and no process holds either whole. Skewed
+      keys (one user owning millions of rows) are the caveat shared
+      with every key-partitioned join here; salt such keys upstream.
+
+    Column collisions: interval columns other than ``key_col`` must
+    not collide with ``ds`` columns (callers rename upfront — explicit
+    beats silent suffixing)."""
+    overlap = (set(intervals.schema().names)
+               & set(ds.schema().names)) - {key_col}
+    if overlap:
+        raise ValueError(f"interval columns collide with ds: {overlap}")
+
+    intervals = intervals.materialize()
+    if mode == "auto":
+        mode = ("broadcast" if intervals.count() <= broadcast_limit
+                else "bucketed")
+
+    if mode == "broadcast":
+        ref = _fold_frame.remote(*intervals.to_arrow_refs())
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            win = ray.get(ref)
+            if not len(win.columns):  # degenerate schema-less intervals
+                return df.head(0)
+            m = df.merge(win, on=key_col, how="inner")
+            return m.loc[(m[ts_col] >= m[start_col])
+                         & (m[ts_col] <= m[end_col])]
+
+        return ds.map_batches(probe, batch_format="pandas")
+
+    if mode != "bucketed":
+        raise ValueError(f"unknown interval_join mode: {mode}")
+
+    # the union the bucketed groupby rides on needs ONE schema: route
+    # both sides through Arrow (typed schemas even after pandas
+    # stages), null-pad each to the column superset, and restore the
+    # null-promoted int/bool dtypes after the per-group merge — the
+    # subtract_ids discipline (ops/dedup.py)
+    def to_arrow(ds_):
+        sch = ds_.schema().base_schema
+        if not isinstance(sch, pa.Schema):
+            ds_ = ds_.map_batches(lambda t: t, batch_format="pyarrow")
+            sch = ds_.schema().base_schema
+        return ds_, sch
+
+    ds, l_schema = to_arrow(ds)
+    intervals, r_schema = to_arrow(intervals)
+    left_cols = list(l_schema.names)
+    right_cols = [c for c in r_schema.names if c != key_col]
+    all_fields = list(l_schema) + [r_schema.field(c) for c in right_cols]
+
+    restore = {}
+    for field in all_fields:
+        if pa.types.is_integer(field.type):
+            restore[field.name] = ("uint64" if pa.types.is_unsigned_integer(
+                field.type) else "int64")
+        elif pa.types.is_boolean(field.type):
+            restore[field.name] = "bool"
+
+    def tag(side: str, own_fields):
+        own = {f.name for f in own_fields}
+
+        def fn(batch: "pa.Table") -> "pa.Table":
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            cols = {}
+            for f in all_fields:
+                cols[f.name] = (batch[f.name] if f.name in own
+                                else pa.nulls(batch.num_rows, f.type))
+            out = pa.table(cols)
+            return out.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            ).append_column(
+                "__bkt",
+                pa.array(keys.astype(np.int64) % n_buckets, pa.int64()))
+
+        return fn
+
+    both = ds.map_batches(tag("l", l_schema), batch_format="pyarrow").union(
+        intervals.map_batches(tag("r", r_schema), batch_format="pyarrow"))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", [key_col, *right_cols]]
+        m = l.merge(r, on=key_col, how="inner")
+        m = m.loc[(m[ts_col] >= m[start_col]) & (m[ts_col] <= m[end_col])]
+        fix = {k: v for k, v in restore.items()
+               if k in m.columns and str(m[k].dtype) != v}
+        return m.astype(fix) if fix else m
+
+    return both.groupby("__bkt").map_groups(join_group,
+                                            batch_format="pandas")
+
+
+def events_in_purchase_windows(sf_dir: str,
+                               window_days: int = 1,
+                               mode: str = "auto") -> ray.data.Dataset:
+    """Range-join demo: every event paired with each SAME-USER purchase
+    whose [purchase_ts, purchase_ts + window] contains it (the
+    "activity attributable to a recent purchase" query). Windows are
+    derived from the events table itself; a purchase pairs with its
+    own window too (ts >= start is closed)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    purch = _read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].astype("int64"),
+            "user_id": p["user_id"],
+            "w_start": p["ts"],
+            "w_end": p["ts"] + pd.Timedelta(days=window_days),
+        })
+
+    win = purch.map_batches(windows, batch_format="pandas")
+    joined = interval_join(ev, win, key_col="user_id", ts_col="ts",
+                           start_col="w_start", end_col="w_end", mode=mode)
+    return joined.select_columns(["event_id", "user_id", "purchase_id"])

@@ -1,0 +1,71 @@
+"""Exact distributional statistics over bounded-cardinality numeric
+columns (lengths, token counts, scores — the corpus-curation
+diagnostics).
+
+Quantiles here are EXACT, not sketched: the per-batch combiner emits
+(value, count) partials, one tiny ``groupby(value)`` folds them, and a
+Ray task reduces the histogram to the requested quantiles — the
+shuffle moves one row per (value, batch), never one per document. This
+is the right trade for bounded-cardinality columns (a length column
+has at most ~10^6 distinct values no matter how many documents exist);
+for genuinely unbounded/continuous columns, bucket first (the t-digest
+regime) — documented hand-off, not implemented here.
+
+Quantile rule (exact integers, no float cdf): the q-percentile is the
+SMALLEST value whose cumulative count reaches ``ceil(q * N / 100)``
+— computed as ``(q*N + 99) // 100`` on both sides, so the SQL twin
+(``__ray_entry__.oracle_sql()['length_quantiles']``) replays it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0)
+def _quantiles_from_counts(q_pcts: tuple, *tables) -> pd.DataFrame:
+    import pyarrow as pa
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pd.DataFrame({"q_pct": pd.Series(q_pcts, dtype="int64"),
+                             "value": pd.Series([None] * len(q_pcts),
+                                                dtype="float64")})
+    t = pa.concat_tables(live)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    targets = [(int(q) * n + 99) // 100 for q in q_pcts]
+    idx = np.searchsorted(cum, targets)  # first cum >= target
+    return pd.DataFrame({"q_pct": np.asarray(q_pcts, dtype=np.int64),
+                         "value": v[idx].astype(np.int64)})
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    q_pcts: tuple = (25, 50, 75, 90, 99),
+) -> pd.DataFrame:
+    """Exact percentiles of an integer column: returns the small
+    (q_pct, value) frame (k rows — the only thing the driver ever
+    holds; the histogram itself lives in tasks and the object
+    store)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
+        return pd.DataFrame({"v": vals, "c": cnts.astype("int64")})
+
+    counts = (ds.select_columns([col])
+              .map_batches(partial, batch_format="pandas")
+              .groupby("v").aggregate(Sum("c", alias_name="c")))
+    return ray.get(_quantiles_from_counts.remote(tuple(q_pcts),
+                                                 *counts.to_arrow_refs()))
