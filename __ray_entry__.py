@@ -270,6 +270,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bm25_topk(ds, "dup merge window", k=10)
 
+    def q_dsir_weights(sf_dir: str):
+        # DSIR importance weights: target domain = lang='en' docs
+        from web_scraper_ray.ops.dsir import dsir_weights
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        tgt = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        ).map_batches(
+            lambda df: df.loc[df["lang"] == "en", ["text"]],
+            batch_format="pandas",
+        )
+        return dsir_weights(ds, tgt, n_buckets=256)
+
     def q_dup_spans(sf_dir: str):
         # Lee-et-al-style duplicated-substring mass per document
         # (8-token windows shared across documents)
@@ -848,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pieces": q_token_pieces,
         "hash_sample": q_hash_sample,
         "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
         "dup_spans": q_dup_spans,
         "dup_span_filter": q_dup_span_filter,
         "incremental_dedup": q_incremental_dedup,
@@ -1950,6 +1966,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BM25 retrieval (ops/retrieval.py): fixed-point Okapi scores
         "bm25_topk": _bm25_topk_sql(),
+        # DSIR importance weights (ops/dsir.py): hashed unigram+bigram
+        # features, Laplace-smoothed fixed-point log-likelihood ratio
+        # per bucket floored to int64 before the per-doc sum
+        "dsir_weights": """
+            WITH tk AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS tk
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, lang, unnest(tk) AS f FROM tk
+                UNION ALL
+                SELECT doc_id, lang, tk[p] || ' ' || tk[p+1] AS f
+                FROM (SELECT doc_id, lang, tk,
+                             unnest(generate_series(1, len(tk)-1)) AS p
+                      FROM tk)
+            ),
+            fb AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(f), 1, 16))::UBIGINT % 256
+                            AS BIGINT) AS bkt
+                FROM feat
+            ),
+            rawc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM fb GROUP BY bkt),
+            tgtc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM fb WHERE lang = 'en' GROUP BY bkt),
+            tot AS (SELECT (SELECT COUNT(*) FROM fb) AS t_raw,
+                           (SELECT COUNT(*) FROM fb WHERE lang = 'en')
+                               AS t_tgt),
+            buckets AS (SELECT unnest(generate_series(0, 255)) AS bkt),
+            contrib AS (
+                SELECT b.bkt,
+                       CAST(floor((ln((COALESCE(tg.n, 0) + 1)
+                                      / CAST(tot.t_tgt + 256 AS DOUBLE))
+                                   - ln((COALESCE(rw.n, 0) + 1)
+                                        / CAST(tot.t_raw + 256 AS DOUBLE)))
+                                  * CAST(4294967296 AS DOUBLE))
+                            AS BIGINT) AS c
+                FROM buckets b
+                LEFT JOIN rawc rw USING (bkt)
+                LEFT JOIN tgtc tg USING (bkt)
+                CROSS JOIN tot
+            ),
+            ws AS (SELECT fb.doc_id, CAST(SUM(ct.c) AS BIGINT) AS weight_q
+                   FROM fb JOIN contrib ct USING (bkt)
+                   GROUP BY fb.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ws.weight_q, 0) AS BIGINT) AS weight_q
+            FROM documents d LEFT JOIN ws USING (doc_id)
+        """,
         # duplicate-span family (ops/spans.py): cross-document 8-token
         # windows — stats and the 10%-mass filter
         "dup_spans": f"""

@@ -1038,3 +1038,30 @@ def test_exact_quantiles_reference(ray_session):
     one = ray.data.from_items([{"x": 3}] * 7)
     out = exact_quantiles(one, "x", (25, 50, 99))
     assert set(out["value"]) == {3}
+
+
+def test_dsir_weights_prefer_target_domain(ray_session):
+    """Docs sharing the target domain's n-grams must outweigh
+    off-domain docs, and dsir_topm must select exactly them."""
+    import ray.data
+
+    from web_scraper_ray.ops.dsir import dsir_topm, dsir_weights
+
+    target_rows = [
+        {"text": "stream the batch through the arrow engine"},
+        {"text": "shuffle the batch into the arrow store"},
+    ] * 3
+    corpus_rows = [
+        {"doc_id": 0, "text": "stream the batch through the arrow engine"},
+        {"doc_id": 1, "text": "cats purr softly near warm windows tonight"},
+        {"doc_id": 2, "text": "shuffle the batch into the arrow store"},
+        {"doc_id": 3, "text": "dogs bark loudly across quiet gardens today"},
+    ]
+    corpus = ray.data.from_items(corpus_rows)
+    target = ray.data.from_items(target_rows)
+    w = dsir_weights(corpus, target, n_buckets=64).to_pandas()
+    byid = dict(zip(w["doc_id"], w["weight_q"]))
+    assert min(byid[0], byid[2]) > max(byid[1], byid[3])
+
+    top = dsir_topm(corpus, target, m=2, n_buckets=64).to_pandas()
+    assert sorted(top["doc_id"]) == [0, 2]
