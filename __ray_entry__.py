@@ -175,6 +175,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["n_chars"])
         return exact_quantiles(ds, "n_chars", (25, 50, 75, 90, 99))
 
+    def q_nation_revenue(sf_dir: str):
+        # distributed hash equi-join via Ray Data's native Dataset.join
+        return rel.nation_revenue(sf_dir)
+
+    def q_sliding_window_counts(sf_dir: str):
+        # per-event same-user count over the closed 1h sliding window
+        return rel.sliding_window_counts(sf_dir, hours=1)
+
     def q_purchase_window_events(sf_dir: str):
         # interval (range) join: events ⋈ same-user purchase windows
         return rel.events_in_purchase_windows(sf_dir, window_days=1)
@@ -851,6 +859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "asof_last_purchase": q_asof_last_purchase,
         "length_quantiles": q_length_quantiles,
+        "nation_revenue": q_nation_revenue,
+        "sliding_window_counts": q_sliding_window_counts,
         "purchase_window_events": q_purchase_window_events,
         "user_running_totals": q_user_running_totals,
         "lang_counts": q_lang_counts,
@@ -1720,6 +1730,26 @@ def oracle_sql() -> dict[str, str]:
                          WHERE cc >= (q.q_pct * nn.n + 99) // 100)
                         AS BIGINT) AS value
             FROM q
+        """,
+        # native-hash-join revenue rollup (ops/relational.py:nation_revenue)
+        "nation_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        # sliding window (ops/relational.py:sliding_window_counts)
+        "sliding_window_counts": """
+            SELECT event_id, user_id, ts,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_in_window
+            FROM events
         """,
         # interval (range) join (ops/relational.py:interval_join):
         # closed-window containment, purchase pairs with its own window

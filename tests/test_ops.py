@@ -1065,3 +1065,30 @@ def test_dsir_weights_prefer_target_domain(ray_session):
 
     top = dsir_topm(corpus, target, m=2, n_buckets=64).to_pandas()
     assert sorted(top["doc_id"]) == [0, 2]
+
+
+def test_sliding_window_peers(ray_session, tmp_path):
+    """RANGE-window semantics: equal-timestamp peers count each other
+    (both directions), and the window is closed at ts - 1h exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scraper_ray.ops.relational import sliding_window_counts
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        (1, t0, 7), (2, t0, 7),                      # peers: both see 2
+        (3, t0 + pd.Timedelta(hours=1), 7),          # boundary: sees all 3
+        (4, t0 + pd.Timedelta(hours=2, seconds=1), 7),  # sees only itself
+        (5, t0, 8),                                  # other user
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    d = tmp_path / "events.parquet"
+    pq.write_table(tbl, d)
+    out = sliding_window_counts(str(tmp_path), hours=1).to_pandas()
+    got = dict(zip(out["event_id"], out["n_in_window"]))
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1, 5: 1}

@@ -389,3 +389,75 @@ def events_in_purchase_windows(sf_dir: str,
     joined = interval_join(ev, win, key_col="user_id", ts_col="ts",
                            start_col="w_start", end_col="w_end", mode=mode)
     return joined.select_columns(["event_id", "user_id", "purchase_id"])
+
+
+def nation_revenue(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Distributed hash equi-join via Ray Data's NATIVE ``Dataset.join``
+    (orders ⋈ customer on custkey — both sides corpus-scaled, so
+    broadcast is wrong; the native join hash-partitions both), then the
+    small nation dimension via broadcast lookup, then one grouped
+    aggregate. Revenue is rounded to integer cents per row before
+    summation (module float discipline)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nation_ref)
+        out = pd.DataFrame({
+            "n_name": df["c_nationkey"].map(lookup),
+            "price_cents": np.floor(
+                df["o_totalprice"] * 100.0 + 0.5).astype("int64"),
+        })
+        return out.dropna(subset=["n_name"])
+
+    return (joined.map_batches(derive, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(Sum("price_cents", alias_name="revenue_cents"),
+                       Count(alias_name="n_orders")))
+
+
+def sliding_window_counts(sf_dir: str, hours: int = 1,
+                          n_buckets: int = 32) -> ray.data.Dataset:
+    """Sliding-window aggregate (the third of the window family next to
+    the tumbling ``events_hourly`` and gap-based ``session_windows``):
+    per event, the number of SAME-USER events in the closed window
+    ``[ts - hours, ts]`` — including equal-timestamp peers, exactly
+    SQL's ``RANGE BETWEEN h PRECEDING AND CURRENT ROW``.
+
+    Shuffle key is the coarse user bucket; inside a partition the scan
+    is two vectorized ``searchsorted`` calls per user run over the
+    (user, ts)-sorted frame."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    delta = pd.Timedelta(hours=hours)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["user_id"].astype("int64") % n_buckets
+        return df
+
+    def count_windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = np.empty(len(g), dtype=np.int64)
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1])))
+        bounds = np.append(run_starts, len(g))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - delta.to_numpy(), side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            n[s:e] = hi - lo
+        g["n_in_window"] = n
+        return g[["event_id", "user_id", "ts", "n_in_window"]]
+
+    return (ev.map_batches(bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(count_windows, batch_format="pandas"))
