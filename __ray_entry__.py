@@ -336,6 +336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "source", "n_chars"]
         )
 
+    def q_shuffle_ranks(sf_dir: str):
+        # deterministic training-order shuffle with exact global ranks
+        from web_scraper_ray.ops.shuffle import shuffle_ranks
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+        return shuffle_ranks(ds, seed=17)
+
     def q_stratified_sample(sf_dir: str):
         # domain rebalancing: downsample src0 hard, src1 mildly, keep
         # src2 whole (exercises the rate>=1 keep-all branch), default
@@ -877,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "dup_span_filter": q_dup_span_filter,
         "incremental_dedup": q_incremental_dedup,
+        "shuffle_ranks": q_shuffle_ranks,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
@@ -2076,6 +2085,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5(COALESCE(text, '')), 1, 16))::UBIGINT
                   NOT IN (SELECT k FROM prior)
+        """,
+        # deterministic shuffle order (ops/shuffle.py:shuffle_ranks):
+        # rank = row_number over (md5-upper-64 of seed:id, id), 0-based
+        "shuffle_ranks": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY ('0x' || substr(md5('17:' || doc_id), 1, 16))
+                                ::UBIGINT, doc_id) - 1
+                        AS BIGINT) AS rank
+            FROM documents
         """,
         # stratified_sample: same hash gate, per-group thresholds
         # (thresholds computed by the same int(rate * 2^64) the engine

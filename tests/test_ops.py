@@ -1092,3 +1092,29 @@ def test_sliding_window_peers(ray_session, tmp_path):
     out = sliding_window_counts(str(tmp_path), hours=1).to_pandas()
     got = dict(zip(out["event_id"], out["n_in_window"]))
     assert got == {1: 2, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_shuffle_ranks_dense_permutation(ray_session):
+    """Ranks are a dense 0..N-1 permutation, identical across
+    partitionings, and stable when the corpus grows (existing ids keep
+    their relative order — the hash-keyed determinism contract)."""
+    import ray.data
+
+    from web_scraper_ray.ops.shuffle import shuffle_ranks
+
+    ids = list(range(200))
+    ds = ray.data.from_items([{"doc_id": i} for i in ids])
+    a = shuffle_ranks(ds, seed=5).to_pandas().sort_values("doc_id")
+    assert sorted(a["rank"]) == ids
+    b = (shuffle_ranks(ds.repartition(7), seed=5)
+         .to_pandas().sort_values("doc_id"))
+    assert list(a["rank"]) == list(b["rank"])
+
+    grown = ray.data.from_items([{"doc_id": i} for i in range(300)])
+    g = shuffle_ranks(grown, seed=5).to_pandas().sort_values("doc_id")
+    old = g[g["doc_id"] < 200]
+    # relative order of the original 200 is preserved under growth
+    import numpy as _np
+    assert list(old.sort_values("rank")["doc_id"]) == list(
+        a.sort_values("rank")["doc_id"])
+    assert sorted(g["rank"]) == list(range(300))

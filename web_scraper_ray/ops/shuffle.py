@@ -1,0 +1,100 @@
+"""Deterministic training-order shuffle — the export-side op that
+fixes a reproducible global sample order for a training run (every
+epoch pipeline reads the corpus in ``md5(seed:id)`` order, stable
+under re-runs, resumes, and corpus growth — the same hash-keyed
+determinism contract as ``ops/sampling.py``).
+
+The interesting part is the EXACT GLOBAL RANK without a global
+enumeration bottleneck: ranks are assigned as (bucket offset + local
+rank) where the bucket is the top ``log2(B)`` bits of the shuffle key
+— buckets are RANGE-ordered, so offsets are exact cumulative counts
+of a B-row table (folded in one Ray task and broadcast), and local
+ranks come from an ordinary per-bucket sort. One combiner-count pass +
+one ``groupby(bucket)`` shuffle; no process ever sees a global order
+besides the B-int offset array.
+
+Determinism / oracle: key = md5-upper-64 of ``"{seed}:{id}"`` (the
+``hash_sample`` keying, already SQL-replayed elsewhere); rank ties are
+impossible absent a 2^-64 collision, but the order is still pinned by
+(key, id) on both sides. ``__ray_entry__.oracle_sql()['shuffle_ranks']``
+replays it with one ``row_number()`` window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+_N_BUCKETS = 256  # top byte of the key; offsets are a 256-int table
+
+
+def _shuffle_keys(ids, seed: int) -> np.ndarray:
+    pre = f"{seed}:"
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5((pre + str(v)).encode()).digest()[:8],
+                        "big") for v in ids),
+        dtype=np.uint64, count=len(ids),
+    )
+
+
+@ray.remote(num_cpus=0)
+def _bucket_offsets(*tables) -> np.ndarray:
+    """Exclusive cumulative counts per RANGE-ordered bucket."""
+    counts = np.zeros(_N_BUCKETS, dtype=np.int64)
+    for t in tables:
+        if t.num_rows:
+            b = t.column("bkt").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            counts[b] += n
+    return np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+
+def shuffle_ranks(
+    ds: ray.data.Dataset,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Rows ``(id, rank)`` where ``rank`` is the row's exact 0-based
+    position in the deterministic shuffled order (ascending
+    ``(md5(seed:id), id)``). Join it back (or feed ``sort(rank)``) to
+    stream the corpus in training order."""
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([id_col])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        k = _shuffle_keys(df[id_col], seed)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "k": k,
+            "bkt": (k >> np.uint64(56)).astype(np.int64),
+        })
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts = np.unique(df["bkt"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"bkt": vals, "n": cnts.astype("int64")})
+
+    # materialize the slim (id, k, bkt) table once: it feeds both the
+    # counting pass and the ranking shuffle, and the md5 keys should
+    # not be computed twice
+    with_keys = slim.map_batches(keyed, batch_format="pandas").materialize()
+    bucket_counts = (with_keys.map_batches(counts, batch_format="pandas")
+                     .groupby("bkt").aggregate(Sum("n", alias_name="n")))
+    offsets_ref = _bucket_offsets.remote(*bucket_counts.to_arrow_refs())
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = g.sort_values(["k", id_col], kind="mergesort")
+        base = offsets[int(g["bkt"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rank": base + np.arange(len(g), dtype=np.int64),
+        })
+
+    return with_keys.groupby("bkt").map_groups(rank_group,
+                                               batch_format="pandas")
