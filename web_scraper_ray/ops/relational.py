@@ -391,13 +391,21 @@ def events_in_purchase_windows(sf_dir: str,
     return joined.select_columns(["event_id", "user_id", "purchase_id"])
 
 
-def nation_revenue(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+def nation_revenue(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
     """Distributed hash equi-join via Ray Data's NATIVE ``Dataset.join``
     (orders ⋈ customer on custkey — both sides corpus-scaled, so
     broadcast is wrong; the native join hash-partitions both), then the
     small nation dimension via broadcast lookup, then one grouped
     aggregate. Revenue is rounded to integer cents per row before
-    summation (module float discipline)."""
+    summation (module float discipline).
+
+    Cost note: the native join spins up a hash-aggregator actor pool —
+    ~10 s of FIXED local-mode overhead regardless of input size
+    (measured: 12.7 s for 150k ⋈ 15k rows at 32 partitions, where the
+    repo's own bucketed-groupby joins run in ~2 s). It amortizes at
+    real scale and is the idiomatic path; prefer `interval_join` /
+    `subtract_ids`-style bucketed groupbys when a pipeline needs many
+    small joins."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 

@@ -58,14 +58,23 @@ def exact_quantiles(
     (q_pct, value) frame (k rows — the only thing the driver ever
     holds; the histogram itself lives in tasks and the object
     store)."""
-    from ray.data.aggregate import Sum
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
-        return pd.DataFrame({"v": vals, "c": cnts.astype("int64")})
+        return pd.DataFrame({"cbkt": np.mod(vals, 64),
+                             "v": vals, "c": cnts.astype("int64")})
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse-bucket shuffle + vectorized in-partition sum: never
+        # groupby(v) directly — the value key can be high-cardinality
+        # and Ray's per-group machinery would dominate (the
+        # _dup_hash_set rule, ops/spans.py)
+        tot = g.groupby("v", sort=False)["c"].sum()
+        return pd.DataFrame({"v": tot.index.to_numpy(),
+                             "c": tot.to_numpy().astype("int64")})
 
     counts = (ds.select_columns([col])
               .map_batches(partial, batch_format="pandas")
-              .groupby("v").aggregate(Sum("c", alias_name="c")))
+              .groupby("cbkt")
+              .map_groups(fold_partition, batch_format="pandas"))
     return ray.get(_quantiles_from_counts.remote(tuple(q_pcts),
                                                  *counts.to_arrow_refs()))
