@@ -385,23 +385,40 @@ def doc_frequency(ds, id_col: str = "doc_id",
 
     Scale shape: each batch pre-aggregates its distinct (doc, token)
     pairs into LOCAL (token, partial-count) rows — the combiner
-    pattern — so the single ``groupby(token)`` all-to-all moves one
-    row per (token, batch), never one per occurrence."""
+    pattern — so the all-to-all moves one row per (token, batch),
+    never one per occurrence. The shuffle key is a coarse
+    md5-derived bucket, NOT the token itself: the vocabulary is
+    corpus-cardinality and Ray's per-group machinery costs ~0.65 ms
+    per distinct key (measured in ops/spans.py:_dup_hash_set — 146 s
+    for a bare Sum over 224k keys); the per-token fold runs
+    vectorized inside each of the 64 partitions instead."""
+    import hashlib
+
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         pairs = _doc_token_pairs(df, id_col, text_col)
         cnt = pairs.groupby("token", sort=False).size()
+        toks = cnt.index.to_numpy()
+        cbkt = np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).digest()[0] & 63
+             for t in toks),
+            dtype=np.int64, count=len(toks),
+        )
         return pd.DataFrame(
-            {"token": cnt.index.to_numpy(),
+            {"cbkt": cbkt, "token": toks,
              "n": cnt.to_numpy().astype("int64")}
         )
 
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", sort=False)["n"].sum()
+        return pd.DataFrame({"token": tot.index.to_numpy(),
+                             "df": tot.to_numpy().astype("int64")})
+
     return (
         ds.map_batches(partials, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="df"))
+        .groupby("cbkt")
+        .map_groups(fold_partition, batch_format="pandas")
     )
 
 
