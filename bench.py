@@ -175,6 +175,22 @@ def run_bench() -> dict:
         paragraph_dedup(docs3).count()
         queries["para_dedup"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        from web_scraper_ray.ops.spans import duplicate_span_stats
+
+        docs4 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        duplicate_span_stats(docs4, n=8).count()
+        queries["dup_spans"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.retrieval import bm25_topk
+
+        docs5 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        bm25_topk(docs5, "dup merge window", k=10).count()
+        queries["bm25_topk"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",

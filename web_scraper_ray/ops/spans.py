@@ -10,9 +10,11 @@ Ray-Data shape (two passes over a re-readable ``ds``, mirroring
 
   1. DECISION — per-batch vectorized window explode to distinct
      (gram-hash, doc) rows, per-batch partial doc-counts per hash (the
-     combiner), one ``groupby(h)`` over (h, partial-count) rows; grams
-     held by ≥ 2 docs form the dup-hash set. Only 8-byte hashes and
-     counts ride the shuffle — never gram text.
+     combiner), then ONE coarse-bucket shuffle (``h % 64``) with the
+     per-hash fold vectorized inside each partition (never a direct
+     ``groupby(h)`` — see ``_dup_hash_set``); grams held by ≥ 2 docs
+     form the dup-hash set. Only 8-byte hashes and counts ride the
+     shuffle — never gram text.
   2. APPLY — two regimes, the package's standard split:
        * ``broadcast``: dup hashes folded to ONE sorted int64 array in
          the object store (``_ids_array_task``); the apply pass is a
