@@ -175,6 +175,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["n_chars"])
         return exact_quantiles(ds, "n_chars", (25, 50, 75, 90, 99))
 
+    def q_source_length_quantiles(sf_dir: str):
+        # per-source exact n_chars percentiles
+        from web_scraper_ray.ops.stats import grouped_quantiles
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source", "n_chars"])
+        return grouped_quantiles(ds, "n_chars", "source", (25, 50, 75, 99))
+
     def q_nation_revenue(sf_dir: str):
         # distributed hash equi-join via Ray Data's native Dataset.join
         return rel.nation_revenue(sf_dir)
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": q_asof_last_purchase,
         "length_quantiles": q_length_quantiles,
         "nation_revenue": q_nation_revenue,
+        "source_length_quantiles": q_source_length_quantiles,
         "sliding_window_counts": q_sliding_window_counts,
         "purchase_window_events": q_purchase_window_events,
         "user_running_totals": q_user_running_totals,
@@ -1739,6 +1748,24 @@ def oracle_sql() -> dict[str, str]:
                          WHERE cc >= (q.q_pct * nn.n + 99) // 100)
                         AS BIGINT) AS value
             FROM q
+        """,
+        # per-group exact quantiles (ops/stats.py:grouped_quantiles)
+        "source_length_quantiles": """
+            WITH vc AS (SELECT source AS g, n_chars AS v,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY g, v),
+            cum AS (SELECT g, v,
+                           SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc
+                    FROM vc),
+            ng AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+            q(q_pct) AS (VALUES (25), (50), (75), (99))
+            SELECT ng.g AS source, CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST((SELECT MIN(v) FROM cum
+                         WHERE cum.g = ng.g
+                           AND cc >= (q.q_pct * ng.n + 99) // 100)
+                        AS BIGINT) AS value
+            FROM ng CROSS JOIN q
         """,
         # native-hash-join revenue rollup (ops/relational.py:nation_revenue)
         "nation_revenue": """

@@ -1118,3 +1118,23 @@ def test_shuffle_ranks_dense_permutation(ray_session):
     assert list(old.sort_values("rank")["doc_id"]) == list(
         a.sort_values("rank")["doc_id"])
     assert sorted(g["rank"]) == list(range(300))
+
+
+def test_grouped_quantiles_matches_single_group(ray_session):
+    """Per-group quantiles equal exact_quantiles computed on each group
+    alone (same integer rule), across an adversarial partitioning."""
+    import ray.data
+
+    from web_scraper_ray.ops.stats import exact_quantiles, grouped_quantiles
+
+    rng = np.random.RandomState(11)
+    rows = [{"g": f"s{i % 3}", "x": int(rng.randint(0, 50))}
+            for i in range(600)]
+    ds = ray.data.from_items(rows).repartition(9)
+    out = grouped_quantiles(ds, "x", "g", (10, 50, 90)).to_pandas()
+    for g in ("s0", "s1", "s2"):
+        solo = ray.data.from_items([r for r in rows if r["g"] == g])
+        ref = exact_quantiles(solo, "x", (10, 50, 90))
+        sub = (out[out["g"] == g].sort_values("q_pct")
+               .reset_index(drop=True))
+        assert list(sub["value"]) == list(ref["value"]), g

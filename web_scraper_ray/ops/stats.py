@@ -78,3 +78,59 @@ def exact_quantiles(
               .map_groups(fold_partition, batch_format="pandas"))
     return ray.get(_quantiles_from_counts.remote(tuple(q_pcts),
                                                  *counts.to_arrow_refs()))
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    group_col: str,
+    q_pcts: tuple = (25, 50, 75, 90, 99),
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-group exact percentiles: rows ``(group, q_pct, value)``
+    under the module's integer quantile rule, one per (group, q).
+
+    Shape: per-batch (group, value, count) combiner partials shuffle
+    on a coarse md5(group) bucket — a partition holds COMPLETE groups,
+    so each group's histogram folds and quantile-selects vectorized
+    inside it. Group skew note: a single group's histogram must fit a
+    partition; that holds whenever the VALUE cardinality is bounded
+    (the op's contract), regardless of the group's row count."""
+    import hashlib
+
+    def gbucket(vals) -> np.ndarray:
+        return np.fromiter(
+            (hashlib.md5(str(g).encode()).digest()[0] % n_buckets
+             for g in vals),
+            dtype=np.int64, count=len(vals),
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby([group_col, col], sort=False).size()
+        g = cnt.index.get_level_values(0).to_numpy()
+        v = cnt.index.get_level_values(1).to_numpy()
+        return pd.DataFrame({"cbkt": gbucket(g), group_col: g, "v": v,
+                             "c": cnt.to_numpy().astype("int64")})
+
+    def fold_partition(part: pd.DataFrame) -> pd.DataFrame:
+        tot = (part.groupby([group_col, "v"], sort=False)["c"].sum()
+               .reset_index().sort_values([group_col, "v"],
+                                          kind="mergesort"))
+        out_g, out_q, out_v = [], [], []
+        for g, sub in tot.groupby(group_col, sort=False):
+            v = sub["v"].to_numpy()
+            cum = np.cumsum(sub["c"].to_numpy())
+            n = int(cum[-1])
+            targets = [(int(q) * n + 99) // 100 for q in q_pcts]
+            idx = np.searchsorted(cum, targets)
+            out_g.extend([g] * len(q_pcts))
+            out_q.extend(int(q) for q in q_pcts)
+            out_v.extend(v[idx].astype(np.int64))
+        return pd.DataFrame({group_col: out_g,
+                             "q_pct": pd.Series(out_q, dtype="int64"),
+                             "value": pd.Series(out_v, dtype="int64")})
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("cbkt")
+            .map_groups(fold_partition, batch_format="pandas"))
