@@ -702,6 +702,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kmeans_embeddings(ds, k=4, iters=2)
 
+    def q_embedding_outliers(sf_dir: str):
+        # far-tail vectors per cluster (exact integer 90th-pct rule)
+        from web_scraper_ray.ops.clustering import embedding_outliers
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return embedding_outliers(ds, k=4, iters=2, q_pct=90)
+
     def q_semdedup(sf_dir: str):
         # cluster-then-dedup survivors; threshold at 0.42 where the
         # synthetic table has real similar pairs (same level the
@@ -925,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
+        "embedding_outliers": q_embedding_outliers,
         "semdedup": q_semdedup,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
@@ -1564,6 +1574,39 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
     """
 
 
+def _embedding_outliers_sql(k: int = 4, iters: int = 2,
+                            q_pct: int = 90) -> str:
+    """DuckDB twin of ops/clustering.py:embedding_outliers: the k-means
+    CTEs' FINAL distance table re-windowed for (a) the per-vector
+    argmin assignment with its distance and (b) the per-cluster exact
+    rank-(q*n+99)//100 threshold; flag rows strictly above it."""
+    ctes, _ = _kmeans_ctes(k, iters)
+    t = iters + 1
+    return f"""
+        WITH {ctes},
+        ad AS (
+            SELECT vec_id, cl, d FROM (
+                SELECT vec_id, cl, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cl) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        ),
+        thr AS (
+            SELECT cl, d AS thr_d FROM (
+                SELECT cl, d,
+                       row_number() OVER (PARTITION BY cl ORDER BY d) AS rk,
+                       COUNT(*) OVER (PARTITION BY cl) AS n
+                FROM ad
+            ) WHERE rk = ({q_pct} * n + 99) // 100
+        )
+        SELECT ad.vec_id, CAST(ad.cl AS BIGINT) AS cluster,
+               CAST(ad.d AS BIGINT) AS dist_q
+        FROM ad JOIN thr USING (cl)
+        WHERE ad.d > thr.thr_d
+    """
+
+
 def _semdedup_sql(k: int = 4, iters: int = 2,
                   threshold: float = 0.42) -> str:
     """DuckDB twin of ops/clustering.py:semdedup — the k-means CTEs
@@ -2008,6 +2051,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_topk_sql(),
         "pii_redact": _pii_redact_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "embedding_outliers": _embedding_outliers_sql(),
         "semdedup": _semdedup_sql(),
         # BPE-pretokenizer piece counts: the IDENTICAL pattern string
         # runs under Python re and DuckDB RE2 (no lookahead, no \s

@@ -1138,3 +1138,22 @@ def test_grouped_quantiles_matches_single_group(ray_session):
         sub = (out[out["g"] == g].sort_values("q_pct")
                .reset_index(drop=True))
         assert list(sub["value"]) == list(ref["value"]), g
+
+
+def test_embedding_outliers_planted(ray_session):
+    """A single far vector inside an otherwise-tight cluster is the
+    only row above the cluster's 90th-percentile distance."""
+    import ray.data
+
+    from web_scraper_ray.ops.clustering import embedding_outliers
+
+    rng = np.random.RandomState(2)
+    base = rng.standard_normal(8) * 0.05
+    rows = [{"vec_id": i,
+             "embedding": (base + rng.standard_normal(8) * 0.01).tolist()}
+            for i in range(30)]
+    rows.append({"vec_id": 30, "embedding": (base + 1.5).tolist()})
+    out = embedding_outliers(ray.data.from_items(rows), k=1, iters=1,
+                             q_pct=95).to_pandas()
+    assert 30 in set(out["vec_id"])
+    assert out.loc[out["vec_id"] == 30, "dist_q"].iloc[0] == out["dist_q"].max()

@@ -195,3 +195,54 @@ def semdedup(
         .groupby("cluster")
         .map_groups(drop_in_cluster, batch_format="pandas")
     )
+
+
+def embedding_outliers(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    q_pct: int = 90,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distance-to-centroid outlier detection — the curation gate that
+    flags vectors sitting in their cluster's far tail (mislabeled /
+    noisy / off-distribution embeddings). Returns
+    ``(id, cluster, dist_q)`` for every vector whose INTEGER squared
+    distance to its assigned centroid strictly exceeds the cluster's
+    exact ``q_pct``-percentile distance (the stats-module integer
+    quantile rule: the value at 1-based rank ``(q*n + 99) // 100`` of
+    the sorted distances).
+
+    Everything stays in the module's fixed-point arithmetic, so the
+    per-cluster thresholds and the flag set replay bit-exactly in SQL
+    (``__ray_entry__.oracle_sql()['embedding_outliers']``). One
+    all-to-all: the ``groupby(cluster)`` of (id, cluster, d) int rows
+    (k clusters — the coarse key IS the semantic key here)."""
+    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
+
+    def assign_with_dist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: df[id_col],
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "dist_q": pd.Series([], dtype="int64")})
+        m = ray.get(final_ref)
+        X = _quantize(_stack(df[emb_col]))
+        diff = (_S2 * X)[:, None, :] - m[None, :, :]
+        dists = (diff * diff).sum(axis=2)
+        a = dists.argmin(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": a.astype(np.int64),
+            "dist_q": dists[np.arange(len(a)), a].astype(np.int64),
+        })
+
+    def tail_of_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["dist_q"].to_numpy(dtype=np.int64)
+        target = (q_pct * len(d) + 99) // 100
+        thr = np.partition(d, target - 1)[target - 1]
+        return g.loc[g["dist_q"] > thr, [id_col, "cluster", "dist_q"]]
+
+    return (ds.map_batches(assign_with_dist, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(tail_of_cluster, batch_format="pandas"))
