@@ -1157,3 +1157,38 @@ def test_embedding_outliers_planted(ray_session):
                              q_pct=95).to_pandas()
     assert 30 in set(out["vec_id"])
     assert out.loc[out["vec_id"] == 30, "dist_q"].iloc[0] == out["dist_q"].max()
+
+
+def test_new_ops_degenerate_inputs(ray_session):
+    """Null/empty text and single-row corpora must not break any of the
+    round-3 text operators (empty-batch and <n-token paths)."""
+    import ray.data
+
+    from web_scraper_ray.ops.dedup import dedup_against
+    from web_scraper_ray.ops.dsir import dsir_weights
+    from web_scraper_ray.ops.retrieval import bm25_topk
+    from web_scraper_ray.ops.shuffle import shuffle_ranks
+    from web_scraper_ray.ops.spans import duplicate_span_stats
+
+    rows = [
+        {"doc_id": 0, "text": None},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "one"},
+    ]
+    ds = ray.data.from_items(rows)
+
+    out = duplicate_span_stats(ds, n=8).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+    assert (out["n_dup_tokens"] == 0).all()
+
+    out = bm25_topk(ds, "one two", k=5).to_pandas()
+    assert len(out) == 3  # every doc scored, nothing crashes
+
+    out = dsir_weights(ds, ds).to_pandas()
+    assert (out["weight_q"] <= 0).all() or len(out) == 3
+
+    out = dedup_against(ds, ray.data.from_items([{"text": ""}])).to_pandas()
+    assert sorted(out["doc_id"]) == [2]  # null text hashes like ""
+
+    out = shuffle_ranks(ds).to_pandas()
+    assert sorted(out["rank"]) == [0, 1, 2]
