@@ -855,6 +855,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(names, batch_format="pandas")
 
+    def q_pagerank(sf_dir: str):
+        # link-graph PageRank over the fixed-path synthetic corpus:
+        # kernel-extracted <a href> edges (ops/graph.py:link_edges) →
+        # fixed-point integer power iteration (ops/graph.py:pagerank).
+        # The SQL oracle re-derives the edges from the same pages
+        # parquet (regex over the html column — the corpus's one
+        # anchor shape) and replays all iterations bit-exactly as an
+        # unrolled CTE chain, so the driver hash-checks the full
+        # iterative computation.
+        from web_scraper_ray.ops import graph
+
+        corpus = _round0_corpus()
+        edges = graph.link_edges(f"{corpus}/pages")
+        return graph.pagerank(edges, iters=4)
+
+    def q_top_indegree(sf_dir: str):
+        from web_scraper_ray.ops import graph
+
+        corpus = _round0_corpus()
+        return graph.top_indegree(graph.link_edges(f"{corpus}/pages"),
+                                  k=20)
+
     def q_media_features(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -944,6 +966,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_markdown": q_render_markdown,
         "render_xml": q_render_xml,
         "render_html": q_render_html,
+        "pagerank": q_pagerank,
+        "top_indegree": q_top_indegree,
         "media_features": q_media_features,
     }
 
@@ -1035,6 +1059,94 @@ def _crawl_round0_sql() -> str:
                ) - 1) * delay_ms AS DOUBLE) AS vt,
                CAST(0 AS BIGINT) AS priority
         FROM deduped
+    """
+
+
+def _link_edges_ctes() -> str:
+    """Shared CTE prefix re-deriving the corpus link graph in SQL:
+    hrefs regexed out of the html column (the synthetic corpus's one
+    anchor shape, corpus.py:110), resolved absolute against the page
+    url, distinct per (src, dst) — the SQL twin of
+    ops/graph.py:link_edges (kernel DOM walk + urljoin), equal on this
+    corpus because generated hrefs are already canonical and either
+    absolute or root-relative (pinned by
+    tests/test_graph.py:test_link_edges_on_corpus)."""
+    corpus = _round0_corpus()
+    return f"""
+        pages AS (
+            SELECT url, decode(html) AS h
+            FROM read_parquet('{corpus}/pages/*.parquet')
+        ),
+        hrefs AS (
+            SELECT url AS src,
+                   unnest(regexp_extract_all(h, '<a href="([^"]+)"', 1))
+                       AS href
+            FROM pages
+        ),
+        edges AS (
+            SELECT DISTINCT src,
+                   CASE WHEN contains(href, '://') THEN href
+                        ELSE split_part(src, '/', 1) || '//' ||
+                             split_part(src, '/', 3) || href
+                   END AS dst
+            FROM hrefs
+        )"""
+
+
+def _pagerank_sql(iters: int = 4, dp: int = 85, scale: int = 10**12) -> str:
+    """DuckDB twin of ops/graph.py:pagerank — unrolled CTE chain, one
+    (dangling-sum, incoming, fold) triple per iteration, all-integer
+    arithmetic (HUGEINT sums, ``//`` floor division) so every rank
+    replays bit-exactly. Final ranks cast to BIGINT (DuckDB HUGEINT
+    reaches pandas as float64 otherwise)."""
+    its = []
+    for t in range(iters):
+        its.append(f"""
+        d{t} AS (
+            SELECT COALESCE(SUM(pr), 0) AS dsum FROM r{t} WHERE outdeg = 0
+        ),
+        i{t} AS (
+            SELECT e.dst AS node, SUM(r.pr // r.outdeg) AS insum
+            FROM edges e JOIN r{t} r ON e.src = r.node
+            GROUP BY e.dst
+        ),
+        r{t + 1} AS (
+            SELECT nd.node, nd.outdeg,
+                   ((100 - {dp}) * {scale}) // (100 * c.n)
+                   + ({dp} * (COALESCE(i.insum, 0)
+                              + (SELECT dsum FROM d{t}) // c.n)) // 100
+                       AS pr
+            FROM nodes nd CROSS JOIN cnt c
+            LEFT JOIN i{t} i USING (node)
+        )""")
+    return f"""
+        WITH {_link_edges_ctes()},
+        deg AS (
+            SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ),
+        nodes AS (
+            SELECT u.node, COALESCE(g.outdeg, 0) AS outdeg
+            FROM (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges) u
+            LEFT JOIN deg g USING (node)
+        ),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, outdeg, {scale} // c.n AS pr
+            FROM nodes CROSS JOIN cnt c
+        ),{','.join(its)}
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM r{iters}
+    """
+
+
+def _top_indegree_sql(k: int = 20) -> str:
+    return f"""
+        WITH {_link_edges_ctes()}
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS indegree
+        FROM edges
+        GROUP BY dst
+        ORDER BY indegree DESC, node ASC
+        LIMIT {k}
     """
 
 
@@ -2209,6 +2321,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
         "crawl_round0": _crawl_round0_sql(),
+        "pagerank": _pagerank_sql(),
+        "top_indegree": _top_indegree_sql(),
         "file_names": _file_names_sql(),
         "quality_filter": f"""
             WITH stats AS (

@@ -1,0 +1,115 @@
+"""Link-graph ops (ops/graph.py): edges, degrees, PageRank, top-indegree.
+
+The PageRank gate is a sequential reference model (same fixed-point
+integer arithmetic, plain dicts) — the engine must equal it exactly at
+any bucket count, the same discipline test_crawl.py applies to the
+frontier."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from web_scraper_ray.ops import graph
+
+
+def _ref_pagerank(edges, iters=4, dp=85, scale=10**12):
+    """Sequential twin of ops/graph.py:pagerank (dict arithmetic)."""
+    edges = sorted(set(edges))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    base = (100 - dp) * scale // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        dang_share = dang // n
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {v: base + dp * (incoming[v] + dang_share) // 100
+                for v in nodes}
+    return rank
+
+
+_EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "e"),  # e is dangling
+    ("f", "f"),              # self-loop, f also dangling-free
+    ("g", "a"),              # g has out-link, no in-link
+]
+
+
+def _edges_ds(edges):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7])
+def test_pagerank_equals_sequential_model(ray_session, n_buckets):
+    got = graph.pagerank(_edges_ds(_EDGES), iters=4,
+                         n_buckets=n_buckets).to_pandas()
+    want = _ref_pagerank(_EDGES, iters=4)
+    assert dict(zip(got["node"], got["pr"])) == want
+
+
+def test_pagerank_mass_conserved(ray_session):
+    scale = 10**12
+    got = graph.pagerank(_edges_ds(_EDGES), iters=3, scale=scale).to_pandas()
+    # flooring leaks < 1 unit per node per division; mass stays ~scale
+    assert abs(int(got["pr"].sum()) - scale) < 100 * len(got)
+
+
+def test_pagerank_sink_beats_source(ray_session):
+    got = graph.pagerank(_edges_ds(_EDGES), iters=4).to_pandas()
+    pr = dict(zip(got["node"], got["pr"]))
+    assert pr["c"] > pr["g"]  # c has 3 in-links, g has none
+
+
+def test_edges_with_outdeg_and_nodes(ray_session):
+    ed = graph.edges_with_outdeg(_edges_ds(_EDGES)).to_pandas()
+    assert dict(zip(ed["src"], ed["outdeg"]))["a"] == 2
+    assert len(ed) == len(_EDGES)
+    nodes = graph.graph_nodes(
+        graph.edges_with_outdeg(_edges_ds(_EDGES))).to_pandas()
+    deg = dict(zip(nodes["node"], nodes["outdeg"]))
+    assert deg == {"a": 2, "b": 1, "c": 1, "d": 2, "e": 0,
+                   "f": 1, "g": 1}
+
+
+def test_top_indegree(ray_session):
+    got = graph.top_indegree(_edges_ds(_EDGES), k=3).to_pandas()
+    ref = (pd.DataFrame(_EDGES, columns=["src", "dst"])
+           .groupby("dst").size().reset_index(name="indegree")
+           .sort_values(["indegree", "dst"], ascending=[False, True]))
+    assert list(got["node"]) == list(ref["dst"].head(3))
+    assert list(got["indegree"]) == list(ref["indegree"].head(3))
+
+
+def test_link_edges_on_corpus(ray_session, tmp_path):
+    """Kernel-extracted edges equal a regex pass over the same HTML
+    (the SQL oracle's derivation) — per-page distinct, absolute."""
+    import re
+
+    from web_scraper_ray.corpus import build_corpus
+
+    out = str(tmp_path / "corpus")
+    build_corpus(out, n_pages=60, n_hosts=6, seed=7, n_seeds=10,
+                 links_per_page=5, use_ray=False)
+    got = graph.link_edges(f"{out}/pages").to_pandas()
+    pages = pd.concat([
+        pd.read_parquet(f) for f in
+        sorted((tmp_path / "corpus" / "pages").glob("*.parquet"))
+    ])
+    want = set()
+    for url, html in zip(pages["url"], pages["html"]):
+        scheme_host = url.split("/", 3)
+        for href in re.findall(r'<a href="([^"]+)"',
+                               bytes(html).decode()):
+            absu = href if "://" in href else (
+                scheme_host[0] + "//" + scheme_host[2] + href)
+            want.add((url, absu))
+    assert set(zip(got["src"], got["dst"])) == want

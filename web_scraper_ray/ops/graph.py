@@ -1,0 +1,282 @@
+"""Link-graph analytics over crawled pages: edge extraction, degree
+statistics, and PageRank — the classic crawl-side signal (priority
+scoring for the frontier, authority weighting for corpus curation).
+
+Ray-Data shape:
+
+  * EDGES: one stateless ``map_batches`` pass over (url, html) reusing
+    the extraction kernel's ``<a href>`` walk (kernel/extract.py:52,
+    the same pass the frontier expands from — reference analog:
+    the link-following mode of ``contxt/scraper.py``). Because an edge
+    (src, dst) can only originate from the page ``src`` itself,
+    per-page dedup IS global dedup — distinct edges need no shuffle.
+  * DEGREES / NODES: one bucketed groupby each (coarse ``__bkt`` key,
+    never the raw URL — vocabulary-cardinality groupbys shatter into
+    tiny partitions at web scale).
+  * PAGERANK: per iteration, two message-passing shuffles — (A) ranks
+    join edges on a src-hash bucket and emit per-edge contributions
+    pre-combined per (bucket, dst); (B) contributions join the node
+    table on a dst-hash bucket and fold into next-round ranks — plus
+    one O(1)-per-block scalar aggregate for the dangling mass. The
+    only thing materialized between iterations is the rank state
+    (one short row per node, never page text): the standard bounded
+    checkpoint of an iterative algorithm, linear in node count and
+    object-store-resident, not driver-resident.
+
+Exact-arithmetic discipline (what makes an ITERATIVE algorithm
+hash-checkable against a DuckDB oracle): ranks are int64 fixed-point
+(``scale`` units of total mass), per-edge shares are floor divisions
+``rank // outdeg``, damping is integer ``dp * x // 100``, and the
+dangling redistribution is ``dangling_sum // n`` — every step replays
+bit-exactly in SQL (see ``__ray_entry__._pagerank_sql``), so the
+driver's value-hash check covers all iterations, not just the shape.
+
+Internal bucket hashes use ``pandas.util.hash_array`` (deterministic,
+vectorized, fixed key) — they only pick shuffle partitions and never
+appear in results, so they need no SQL twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from . import sized_read_parquet
+
+
+def _bkt(series: pd.Series, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized shuffle bucket of a string key."""
+    return (pd.util.hash_array(series.to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
+def link_edges(pages_path: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Distinct (src, dst) out-link edges of a pages table, absolute
+    URLs, via the extraction kernel's DOM walk. Column-pruned read
+    (url + html only); no shuffle (see module doc)."""
+    from ..dom import parse
+    from ..kernel.extract import extract_links
+
+    def edges_of(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for url, html in zip(df["url"], df["html"]):
+            if isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            seen: set[str] = set()
+            for link in extract_links(parse(html), url):
+                if link not in seen:
+                    seen.add(link)
+                    srcs.append(url)
+                    dsts.append(link)
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return sized_read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        edges_of, batch_format="pandas", batch_size=256)
+
+
+def edges_with_outdeg(edges: ray.data.Dataset,
+                      n_buckets: int = 32) -> ray.data.Dataset:
+    """(src, dst, outdeg) — each edge annotated with its source's
+    out-degree, in ONE bucketed shuffle (count and attach inside the
+    same group; no separate degree table or join)."""
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = _bkt(df["src"], n_buckets)
+        return df
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"src": pd.Series([], dtype=object),
+                                 "dst": pd.Series([], dtype=object),
+                                 "outdeg": pd.Series([], dtype="int64")})
+        out = g.drop(columns=["__bkt"]).copy()
+        out["outdeg"] = out.groupby("src", sort=False)["src"].transform(
+            "size").astype("int64")
+        return out
+
+    return (edges.map_batches(add_bkt, batch_format="pandas")
+            .groupby("__bkt").map_groups(attach, batch_format="pandas"))
+
+
+def graph_nodes(edges_deg: ray.data.Dataset,
+                n_buckets: int = 32) -> ray.data.Dataset:
+    """(node, outdeg) for every distinct endpoint; dst-only nodes
+    (the crawl frontier's unfetched leaves — off-site links, ignored
+    sections) carry outdeg 0. One bucketed shuffle over slim
+    (node, deg) pairs — page text never rides it."""
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch pre-combine: distinct srcs with their outdeg,
+        # distinct dsts at 0 — the combiner halves shuffle rows
+        s = df[["src", "outdeg"]].drop_duplicates("src")
+        out = pd.concat([
+            pd.DataFrame({"node": s["src"], "deg": s["outdeg"]}),
+            pd.DataFrame({"node": df["dst"].unique(), "deg": 0}),
+        ], ignore_index=True)
+        out["deg"] = out["deg"].astype("int64")
+        out["__bkt"] = _bkt(out["node"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "outdeg": pd.Series([], dtype="int64")})
+        agg = g.groupby("node", sort=False)["deg"].max()
+        return pd.DataFrame({"node": agg.index.to_numpy(),
+                             "outdeg": agg.to_numpy().astype("int64")})
+
+    return (edges_deg.map_batches(endpoints, batch_format="pandas")
+            .groupby("__bkt").map_groups(fold, batch_format="pandas"))
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = 4,
+             damping_pct: int = 85, scale: int = 10**12,
+             n_buckets: int = 32) -> ray.data.Dataset:
+    """Fixed-point integer PageRank over distinct (src, dst) edges.
+
+    Per iteration (see module doc for the exact arithmetic):
+      rank'(v) = base + dp * (incoming(v) + dangling_sum // n) // 100
+      base     = (100 - dp) * scale // (100 * n)
+      incoming(v) = sum over edges (u, v) of rank(u) // outdeg(u)
+
+    Dangling mass (nodes with no out-links — at web scale, 30-50% of
+    discovered URLs are never fetched) is redistributed uniformly, so
+    total mass stays ~``scale`` instead of leaking each round.
+
+    Returns (node, pr) with pr in ``scale`` fixed-point units."""
+    dp = int(damping_pct)
+    edges_deg = edges_with_outdeg(edges, n_buckets).materialize()
+    nodes = graph_nodes(edges_deg, n_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "pr": df["outdeg"]}),
+            batch_format="pandas")
+    base = (100 - dp) * scale // (100 * n)
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["src"], "dst": df["dst"],
+            "val": np.int64(0), "outdeg": df["outdeg"].astype("int64"),
+            "side": "e", "__bkt": _bkt(df["src"], n_buckets)})
+
+    edges_tagged = edges_deg.map_batches(
+        tag_edges, batch_format="pandas").materialize()
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "rank": np.int64(scale // n),
+                             "outdeg": df["outdeg"].astype("int64")})
+
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pandas").materialize()
+
+    _EMPTY_CONTRIB = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                                   "contrib": pd.Series([], dtype="int64")})
+    _EMPTY_RANKS = pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "outdeg": pd.Series([], dtype="int64")})
+
+    def contrib_group(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["side"] == "e", ["key", "dst", "outdeg"]]
+        r = g.loc[g["side"] == "r", ["key", "val"]]
+        if not len(e) or not len(r):
+            return _EMPTY_CONTRIB
+        m = e.merge(r, on="key", how="inner")
+        if not len(m):
+            return _EMPTY_CONTRIB
+        share = m["val"].to_numpy() // m["outdeg"].to_numpy()
+        # pre-combine per dst before the second shuffle
+        agg = pd.Series(share, index=m["dst"]).groupby(level=0,
+                                                       sort=False).sum()
+        return pd.DataFrame({"dst": agg.index.to_numpy(),
+                             "contrib": agg.to_numpy().astype("int64")})
+
+    for _ in range(iters):
+        dang = ranks.map_batches(
+            lambda df: pd.DataFrame({"d": [int(
+                df.loc[df["outdeg"] == 0, "rank"].sum())]}),
+            batch_format="pandas").sum("d")
+        dang_share = int(dang or 0) // n
+
+        def tag_ranks(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["node"], "dst": "",
+                "val": df["rank"].astype("int64"),
+                "outdeg": np.int64(0), "side": "r",
+                "__bkt": _bkt(df["node"], n_buckets)})
+
+        contrib = (edges_tagged.union(
+            ranks.map_batches(tag_ranks, batch_format="pandas"))
+            .groupby("__bkt")
+            .map_groups(contrib_group, batch_format="pandas"))
+
+        def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["dst"], "val": df["contrib"].astype("int64"),
+                "outdeg": np.int64(0), "side": "c",
+                "__bkt": _bkt(df["dst"], n_buckets)})
+
+        def tag_nodes(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["node"], "val": np.int64(0),
+                "outdeg": df["outdeg"].astype("int64"), "side": "n",
+                "__bkt": _bkt(df["node"], n_buckets)})
+
+        def fold_ranks(g: pd.DataFrame,
+                       _dang_share: int = dang_share) -> pd.DataFrame:
+            nrows = g.loc[g["side"] == "n", ["key", "outdeg"]]
+            if not len(nrows):
+                return _EMPTY_RANKS
+            c = g.loc[g["side"] == "c"]
+            insum = (pd.Series(c["val"].to_numpy(), index=c["key"])
+                     .groupby(level=0, sort=False).sum())
+            inc = nrows["key"].map(insum).fillna(0).to_numpy(dtype=np.int64)
+            rank = base + dp * (inc + _dang_share) // 100
+            return pd.DataFrame({"node": nrows["key"].to_numpy(),
+                                 "rank": rank.astype("int64"),
+                                 "outdeg": nrows["outdeg"].to_numpy()})
+
+        ranks = (contrib.map_batches(tag_contrib, batch_format="pandas")
+                 .union(nodes.map_batches(tag_nodes, batch_format="pandas"))
+                 .groupby("__bkt")
+                 .map_groups(fold_ranks, batch_format="pandas")
+                 ).materialize()
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "pr": df["rank"].astype("int64")}),
+        batch_format="pandas")
+
+
+def top_indegree(edges: ray.data.Dataset, k: int = 20,
+                 n_buckets: int = 32) -> ray.data.Dataset:
+    """Top-k nodes by in-degree (ties broken by node asc — a total
+    order, so results are parallelism-stable). Per-batch pre-combine,
+    one bucketed shuffle over (node, partial-count), then a k-bounded
+    sort: only n_buckets * k rows reach the final limit."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("dst", sort=False)["dst"].size()
+        out = pd.DataFrame({"node": cnt.index.to_numpy(),
+                            "c": cnt.to_numpy().astype("int64")})
+        out["__bkt"] = _bkt(out["node"], n_buckets)
+        return out
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "indegree": pd.Series([], dtype="int64")})
+        agg = g.groupby("node", sort=False)["c"].sum()
+        out = pd.DataFrame({"node": agg.index.to_numpy(),
+                            "indegree": agg.to_numpy().astype("int64")})
+        return out.sort_values(["indegree", "node"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    return (edges.map_batches(partial, batch_format="pandas")
+            .groupby("__bkt").map_groups(local_topk, batch_format="pandas")
+            .sort(["indegree", "node"], descending=[True, False])
+            .limit(k))
