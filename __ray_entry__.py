@@ -855,6 +855,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(names, batch_format="pandas")
 
+    def q_c4_line_filter(sf_dir: str):
+        # C4-style line filtering (ops/lines.py) — the corpus text has
+        # no newlines, so the query plants deterministic line structure
+        # first (replace() word boundaries → punctuated lines, a
+        # "javascript" token, lorem-ipsum / "{" doc suffixes), all
+        # replayed verbatim by the SQL twin; the operator under test is
+        # generic
+        import pandas as pd
+
+        from web_scraper_ray.ops.lines import line_filter_stats
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            t = (df["text"].fillna("")
+                 .str.replace(" hash ", " javascript ", regex=False)
+                 .str.replace(" table ", ".\n", regex=False))
+            i = df["doc_id"]
+            t = t + (i % 31 == 0).map(
+                {True: "\nlorem ipsum dolor", False: ""})
+            t = t + (i % 23 == 0).map({True: " {", False: ""})
+            df["text"] = t
+            return df
+
+        out = line_filter_stats(ds.map_batches(plant,
+                                                batch_format="pandas"),
+                                min_words=5)
+
+        def as_int(df: pd.DataFrame) -> pd.DataFrame:
+            # bool → int64: no oracle-checked query emits booleans
+            # (driver comparator discipline)
+            df = df.copy()
+            df["kept"] = df["kept"].astype("int64")
+            return df
+
+        return out.map_batches(as_int, batch_format="pandas")
+
     def q_pagerank(sf_dir: str):
         # link-graph PageRank over the fixed-path synthetic corpus:
         # kernel-extracted <a href> edges (ops/graph.py:link_edges) →
@@ -968,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_html": q_render_html,
         "pagerank": q_pagerank,
         "top_indegree": q_top_indegree,
+        "c4_line_filter": q_c4_line_filter,
         "media_features": q_media_features,
     }
 
@@ -1091,6 +1131,51 @@ def _link_edges_ctes() -> str:
                    END AS dst
             FROM hrefs
         )"""
+
+
+def _c4_line_filter_sql() -> str:
+    """DuckDB twin of ops/lines.py:line_filter_stats over the planted
+    documents (see q_c4_line_filter): replants the same line structure
+    with replace(), then replays the line predicate as a list_filter
+    lambda — explicit rstrip class, [^ ]+ word runs, lowercase
+    contains — and the document verdict."""
+    ws = " ' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    pred = (f"(list_contains(['.','!','?','\"'], "
+            f"right(rtrim(l, {ws}), 1))"
+            " AND len(list_filter(string_split(l, ' '), x -> x <> ''))"
+            " >= 5"
+            " AND NOT contains(lower(l), 'javascript'))")
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   replace(replace(COALESCE(text, ''),
+                                   ' hash ', ' javascript '),
+                           ' table ', '.' || chr(10))
+                   || CASE WHEN doc_id % 31 = 0
+                           THEN chr(10) || 'lorem ipsum dolor'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 23 = 0 THEN ' {{' ELSE '' END
+                       AS t
+            FROM documents
+        ),
+        split AS (
+            SELECT doc_id, t,
+                   string_split(t, chr(10)) AS ls,
+                   list_filter(string_split(t, chr(10)),
+                               l -> {pred}) AS kept_ls
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept_ls) AS BIGINT) AS n_kept,
+               CAST(CASE WHEN len(kept_ls) >= 1
+                          AND NOT contains(lower(t), 'lorem ipsum')
+                          AND NOT contains(lower(t), '{{')
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               COALESCE(array_to_string(kept_ls, chr(10)), '')
+                   AS clean_text
+        FROM split
+    """
 
 
 def _pagerank_sql(iters: int = 4, dp: int = 85, scale: int = 10**12) -> str:
@@ -2323,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_round0": _crawl_round0_sql(),
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),
+        "c4_line_filter": _c4_line_filter_sql(),
         "file_names": _file_names_sql(),
         "quality_filter": f"""
             WITH stats AS (
