@@ -855,6 +855,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(names, batch_format="pandas")
 
+    def q_pack_sequences(sf_dir: str):
+        # deterministic concat-then-chunk sequence packing
+        # (ops/shuffle.py:pack_sequences): docs in md5-shuffled order,
+        # token counts (len(text)//4 + 1 — the reference's est_tokens
+        # estimator, +1 so every doc has width) prefix-summed into
+        # seqlen=512 training sequences; the oracle replays it as one
+        # SUM() OVER window
+        import pandas as pd
+
+        from web_scraper_ray.ops.shuffle import pack_sequences
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def ntok(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tok": (df["text"].fillna("").str.len() // 4 + 1
+                          ).astype("int64"),
+            })
+
+        return pack_sequences(ds.map_batches(ntok, batch_format="pandas"),
+                              seqlen=512, weight_col="n_tok", seed=17)
+
     def q_c4_line_filter(sf_dir: str):
         # C4-style line filtering (ops/lines.py) — the corpus text has
         # no newlines, so the query plants deterministic line structure
@@ -1008,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "top_indegree": q_top_indegree,
         "c4_line_filter": q_c4_line_filter,
+        "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
     }
 
@@ -2409,6 +2434,36 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),
         "c4_line_filter": _c4_line_filter_sql(),
+        # pack_sequences: the shuffle_ranks key order with a weighted
+        # prefix-sum window; weights are the est_tokens estimator
+        "pack_sequences": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       length(COALESCE(text, '')) // 4 + 1 AS w,
+                       ('0x' || substr(md5('17:' || doc_id), 1, 16))
+                           ::UBIGINT AS k
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS rank,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tok_start,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 512
+                        AS BIGINT) AS seq_id,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) % 512
+                        AS BIGINT) AS seq_off
+            FROM keyed
+        """,
         "file_names": _file_names_sql(),
         "quality_filter": f"""
             WITH stats AS (

@@ -1120,6 +1120,39 @@ def test_shuffle_ranks_dense_permutation(ray_session):
     assert sorted(g["rank"]) == list(range(300))
 
 
+def test_pack_sequences_matches_sequential_model(ray_session):
+    """tok_start is the exact weighted prefix sum in shuffled order —
+    equal to a single-process sort+cumsum at any partitioning — and
+    (seq_id, seq_off) chunk it at seqlen."""
+    import hashlib
+
+    import ray.data
+
+    from web_scraper_ray.ops.shuffle import pack_sequences
+
+    rows = [{"doc_id": i, "w": (i * 7) % 13 + 1} for i in range(150)]
+
+    def key(i):
+        return int.from_bytes(
+            hashlib.md5(f"5:{i}".encode()).digest()[:8], "big")
+
+    order = sorted(rows, key=lambda r: (key(r["doc_id"]), r["doc_id"]))
+    want, tok = {}, 0
+    for rk, r in enumerate(order):
+        want[r["doc_id"]] = (rk, tok, tok // 64, tok % 64)
+        tok += r["w"]
+
+    for parts in (None, 7):
+        ds = ray.data.from_items(rows)
+        if parts:
+            ds = ds.repartition(parts)
+        got = pack_sequences(ds, seqlen=64, weight_col="w",
+                             seed=5).to_pandas()
+        gmap = {r.doc_id: (r.rank, r.tok_start, r.seq_id, r.seq_off)
+                for r in got.itertuples()}
+        assert gmap == want
+
+
 def test_grouped_quantiles_matches_single_group(ray_session):
     """Per-group quantiles equal exact_quantiles computed on each group
     alone (same integer rule), across an adversarial partitioning."""

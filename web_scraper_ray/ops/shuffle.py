@@ -98,3 +98,87 @@ def shuffle_ranks(
 
     return with_keys.groupby("bkt").map_groups(rank_group,
                                                batch_format="pandas")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    seqlen: int,
+    weight_col: str,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic concat-then-chunk sequence packing: documents are
+    laid out in the :func:`shuffle_ranks` order and their token counts
+    (``weight_col``, positive int) concatenated into one virtual token
+    stream cut every ``seqlen`` tokens — the GPT-style pack where a
+    document may straddle a boundary. Emits per document:
+
+      rank       exact position in the shuffled order
+      tok_start  exclusive prefix sum of weights (global token offset)
+      seq_id     tok_start // seqlen   (training sequence index)
+      seq_off    tok_start %  seqlen   (offset inside that sequence)
+
+    Same two-pass scheme as :func:`shuffle_ranks` with the count
+    generalized to a WEIGHTED prefix sum: per-bucket weight totals fold
+    into a B-int offset table in one Ray task; inside each range-ordered
+    bucket an ordinary sorted ``cumsum`` finishes the job. No global
+    enumeration, no driver-side pass over the corpus; the shuffle moves
+    (id, key, weight) only. Replayed exactly by
+    ``oracle_sql()['pack_sequences']`` (one SUM() OVER window)."""
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([id_col, weight_col])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        k = _shuffle_keys(df[id_col], seed)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "w": df[weight_col].to_numpy(dtype=np.int64),
+            "k": k,
+            "bkt": (k >> np.uint64(56)).astype(np.int64),
+        })
+
+    def wcounts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["bkt", "w"]].copy()
+        out["n"] = np.int64(1)
+        agg = out.groupby("bkt", sort=False)[["n", "w"]].sum().reset_index()
+        return agg.astype({"bkt": "int64", "n": "int64", "w": "int64"})
+
+    with_keys = slim.map_batches(keyed, batch_format="pandas").materialize()
+    totals = (with_keys.map_batches(wcounts, batch_format="pandas")
+              .groupby("bkt").aggregate(Sum("n", alias_name="n"),
+                                        Sum("w", alias_name="w")))
+    offs_ref = _bucket_offsets2.remote(*totals.to_arrow_refs())
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        rank_off, tok_off = ray.get(offs_ref)
+        g = g.sort_values(["k", id_col], kind="mergesort")
+        b = int(g["bkt"].iloc[0])
+        w = g["w"].to_numpy(dtype=np.int64)
+        tok_start = tok_off[b] + np.concatenate(
+            ([0], np.cumsum(w)[:-1])).astype(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rank": rank_off[b] + np.arange(len(g), dtype=np.int64),
+            "tok_start": tok_start,
+            "seq_id": tok_start // seqlen,
+            "seq_off": tok_start % seqlen,
+        })
+
+    return with_keys.groupby("bkt").map_groups(pack_group,
+                                               batch_format="pandas")
+
+
+@ray.remote(num_cpus=0)
+def _bucket_offsets2(*tables) -> tuple[np.ndarray, np.ndarray]:
+    """Exclusive cumulative (row count, weight) per range-ordered
+    bucket."""
+    counts = np.zeros(_N_BUCKETS, dtype=np.int64)
+    weights = np.zeros(_N_BUCKETS, dtype=np.int64)
+    for t in tables:
+        if t.num_rows:
+            b = t.column("bkt").to_numpy(zero_copy_only=False)
+            counts[b] += t.column("n").to_numpy(zero_copy_only=False)
+            weights[b] += t.column("w").to_numpy(zero_copy_only=False)
+    excl = lambda a: np.concatenate(([0], np.cumsum(a)[:-1]))  # noqa: E731
+    return excl(counts), excl(weights)
