@@ -1225,3 +1225,35 @@ def test_new_ops_degenerate_inputs(ray_session):
 
     out = shuffle_ranks(ds).to_pandas()
     assert sorted(out["rank"]) == [0, 1, 2]
+
+
+def test_graph_lines_pack_degenerate_inputs(ray_session):
+    """Null/empty text, empty edge sets, and single-row inputs must not
+    break the graph / line-filter / packing operators."""
+    import pandas as pd
+    import ray.data
+
+    from web_scraper_ray.ops.graph import pagerank, top_indegree
+    from web_scraper_ray.ops.lines import line_filter_stats
+    from web_scraper_ray.ops.shuffle import pack_sequences
+
+    one_edge = ray.data.from_pandas(
+        pd.DataFrame({"src": ["a"], "dst": ["a"]}))  # self-loop only
+    pr = pagerank(one_edge, iters=2).to_pandas()
+    assert len(pr) == 1 and int(pr["pr"][0]) > 0
+    assert len(top_indegree(one_edge, k=5).to_pandas()) == 1
+
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": None},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "\n\n"},
+    ])
+    out = line_filter_stats(docs).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+    assert (out["n_kept"] == 0).all() and (~out["kept"]).all()
+
+    packed = pack_sequences(
+        ray.data.from_items([{"doc_id": 0, "w": 1}]),
+        seqlen=4, weight_col="w").to_pandas()
+    assert list(packed[["rank", "tok_start", "seq_id", "seq_off"]]
+                .iloc[0]) == [0, 0, 0, 0]
