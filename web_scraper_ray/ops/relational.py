@@ -391,7 +391,8 @@ def events_in_purchase_windows(sf_dir: str,
     return joined.select_columns(["event_id", "user_id", "purchase_id"])
 
 
-def nation_revenue(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+def nation_revenue(sf_dir: str,
+                   num_partitions: int | None = None) -> ray.data.Dataset:
     """Distributed hash equi-join via Ray Data's NATIVE ``Dataset.join``
     (orders ⋈ customer on custkey — both sides corpus-scaled, so
     broadcast is wrong; the native join hash-partitions both), then the
@@ -405,7 +406,19 @@ def nation_revenue(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
     repo's own bucketed-groupby joins run in ~2 s). It amortizes at
     real scale and is the idiomatic path; prefer `interval_join` /
     `subtract_ids`-style bucketed groupbys when a pipeline needs many
-    small joins."""
+    small joins.
+
+    ``num_partitions`` defaults to the cluster CPU count (capped at
+    32): the aggregator pool is sized to it, and asking for more
+    aggregator actors than the cluster can schedule DEADLOCKS the join
+    under small sessions (observed: 32 partitions on a 4-CPU session
+    never completes — every HashShuffleAggregator waits for placement)."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+        except Exception:
+            cpus = 4
+        num_partitions = max(2, min(32, cpus))
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
