@@ -191,6 +191,34 @@ def run_bench() -> dict:
         bm25_topk(docs5, "dup merge window", k=10).count()
         queries["bm25_topk"] = round(time.time() - t0, 3)
 
+        # --- link-graph over the bench corpus (edge extraction is a
+        # second DOM pass over every page; pagerank is 2 bucketed
+        # shuffles x 4 iterations over the slim edge table) ---
+        t0 = time.time()
+        from web_scraper_ray.ops.graph import link_edges, pagerank
+
+        edges = link_edges(f"{corpus}/pages").materialize()
+        queries["link_edges"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pagerank(edges, iters=4).count()
+        queries["pagerank"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.lines import line_filter_stats
+
+        docs6 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        line_filter_stats(docs6).count()
+        queries["c4_line_filter"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.shuffle import pack_sequences
+
+        docs7 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "n_chars"])
+        pack_sequences(docs7, seqlen=512, weight_col="n_chars").count()
+        queries["pack_sequences"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",

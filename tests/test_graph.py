@@ -48,9 +48,11 @@ def _edges_ds(edges):
         {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}))
 
 
-@pytest.mark.parametrize("n_buckets", [1, 7])
-def test_pagerank_equals_sequential_model(ray_session, n_buckets):
-    got = graph.pagerank(_edges_ds(_EDGES), iters=4,
+@pytest.mark.parametrize("mode,n_buckets", [("bucketed", 1),
+                                            ("bucketed", 7),
+                                            ("broadcast", 32)])
+def test_pagerank_equals_sequential_model(ray_session, mode, n_buckets):
+    got = graph.pagerank(_edges_ds(_EDGES), iters=4, mode=mode,
                          n_buckets=n_buckets).to_pandas()
     want = _ref_pagerank(_EDGES, iters=4)
     assert dict(zip(got["node"], got["pr"])) == want

@@ -131,9 +131,98 @@ def graph_nodes(edges_deg: ray.data.Dataset,
             .groupby("__bkt").map_groups(fold, batch_format="pandas"))
 
 
+import ray
+
+
+@ray.remote(num_cpus=0)
+def _fold_node_table(*tabs):
+    """One-task fold of the nodes dataset into sorted numpy arrays
+    (names as fixed-width unicode so searchsorted is a C binary
+    search). O(nodes) in ONE worker — the explicitly-bounded state of
+    broadcast mode, never the driver's."""
+    names = np.concatenate([
+        t.column("node").to_numpy(zero_copy_only=False).astype("U")
+        for t in tabs if t.num_rows]) if tabs else np.array([], dtype="U1")
+    degs = np.concatenate([
+        t.column("outdeg").to_numpy(zero_copy_only=False)
+        for t in tabs if t.num_rows]) if tabs else np.array([], dtype=np.int64)
+    order = np.argsort(names, kind="stable")
+    return names[order], degs[order].astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _fold_incoming(n: int, *tabs) -> np.ndarray:
+    """One-task fold of per-batch contribution partials into the dense
+    incoming-sum vector."""
+    inc = np.zeros(n, dtype=np.int64)
+    for t in tabs:
+        if t.num_rows:
+            np.add.at(inc, t.column("di").to_numpy(zero_copy_only=False),
+                      t.column("c").to_numpy(zero_copy_only=False))
+    return inc
+
+
+@ray.remote(num_cpus=0)
+def _dangling_mask(setup) -> np.ndarray:
+    return setup[1] == 0
+
+
+@ray.remote(num_cpus=0)
+def _named_ranks(setup, rank: np.ndarray):
+    import pyarrow as pa
+
+    return pa.table({"node": pa.array(setup[0].astype(object)),
+                     "pr": pa.array(rank, pa.int64())})
+
+
+def _pagerank_broadcast(edges_deg: ray.data.Dataset,
+                        nodes: ray.data.Dataset, n: int, iters: int,
+                        dp: int, scale: int) -> ray.data.Dataset:
+    """Small/medium-graph regime: the sorted (node, outdeg) table rides
+    the object store (built by a one-task fold, fetched by workers,
+    never by the driver — node names can be hundreds of bytes each);
+    the driver holds only the dense int64 rank vector and a bool
+    dangling mask (9 B/node). Each iteration is ONE map_batches
+    execution over the materialized edges (vectorized binary-search
+    lookups, per-batch combiner) plus one O(n) fold task — no shuffle
+    at all. The same broadcast-vs-bucketed regime split the crawl
+    frontier's fetch-join uses (crawl/frontier.py)."""
+    setup_ref = _fold_node_table.remote(*nodes.to_arrow_refs())
+    dangling = ray.get(_dangling_mask.remote(setup_ref))
+    base = (100 - dp) * scale // (100 * n)
+    rank = np.full(n, scale // n, dtype=np.int64)
+
+    for _ in range(iters):
+        dang_share = int(rank[dangling].sum()) // n
+        rank_ref = ray.put(rank)
+
+        def contrib(df: pd.DataFrame,
+                    _rank_ref=rank_ref) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"di": pd.Series([], dtype="int64"),
+                                     "c": pd.Series([], dtype="int64")})
+            nm, _ = ray.get(setup_ref)
+            r = ray.get(_rank_ref)
+            si = np.searchsorted(nm, np.asarray(df["src"], dtype="U"))
+            di = np.searchsorted(nm, np.asarray(df["dst"], dtype="U"))
+            share = r[si] // df["outdeg"].to_numpy(dtype=np.int64)
+            agg = pd.Series(share, index=di).groupby(level=0).sum()
+            return pd.DataFrame({"di": agg.index.to_numpy(dtype=np.int64),
+                                 "c": agg.to_numpy(dtype=np.int64)})
+
+        parts = edges_deg.map_batches(
+            contrib, batch_format="pandas").to_arrow_refs()
+        inc = ray.get(_fold_incoming.remote(n, *parts))
+        rank = base + dp * (inc + dang_share) // 100
+
+    return ray.data.from_arrow_refs(
+        [_named_ranks.remote(setup_ref, rank)])
+
+
 def pagerank(edges: ray.data.Dataset, iters: int = 4,
              damping_pct: int = 85, scale: int = 10**12,
-             n_buckets: int = 32) -> ray.data.Dataset:
+             n_buckets: int = 32, mode: str = "auto",
+             max_broadcast_nodes: int = 2_000_000) -> ray.data.Dataset:
     """Fixed-point integer PageRank over distinct (src, dst) edges.
 
     Per iteration (see module doc for the exact arithmetic):
@@ -145,6 +234,14 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
     discovered URLs are never fetched) is redistributed uniformly, so
     total mass stays ~``scale`` instead of leaking each round.
 
+    Two execution regimes with identical (bit-exact) results:
+      * ``broadcast`` (node state fits the object store — default up to
+        ``max_broadcast_nodes``): no shuffle, one map pass + one fold
+        task per iteration; see :func:`_pagerank_broadcast`.
+      * ``bucketed`` (the 100-TB path): node state never assembles in
+        one place — two bucketed message-passing shuffles per
+        iteration, rank state materialized as a Dataset between rounds.
+
     Returns (node, pr) with pr in ``scale`` fixed-point units."""
     dp = int(damping_pct)
     edges_deg = edges_with_outdeg(edges, n_buckets).materialize()
@@ -155,6 +252,10 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
             lambda df: pd.DataFrame({"node": df["node"],
                                      "pr": df["outdeg"]}),
             batch_format="pandas")
+    if mode == "auto":
+        mode = "broadcast" if n <= max_broadcast_nodes else "bucketed"
+    if mode == "broadcast":
+        return _pagerank_broadcast(edges_deg, nodes, n, iters, dp, scale)
     base = (100 - dp) * scale // (100 * n)
 
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
