@@ -940,6 +940,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.top_indegree(graph.link_edges(f"{corpus}/pages"),
                                   k=20)
 
+    def q_host_components(sf_dir: str):
+        # site clustering: connected components of the host graph,
+        # min-md5 host as the canonical representative; the oracle
+        # replays it as a WITH RECURSIVE reachability closure
+        from web_scraper_ray.ops import graph
+
+        corpus = _round0_corpus()
+        return graph.host_components(graph.link_edges(f"{corpus}/pages"))
+
     def q_media_features(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -1031,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_html": q_render_html,
         "pagerank": q_pagerank,
         "top_indegree": q_top_indegree,
+        "host_components": q_host_components,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
@@ -1246,6 +1256,50 @@ def _pagerank_sql(iters: int = 4, dp: int = 85, scale: int = 10**12) -> str:
             FROM nodes CROSS JOIN cnt c
         ),{','.join(its)}
         SELECT node, CAST(pr AS BIGINT) AS pr FROM r{iters}
+    """
+
+
+def _host_components_sql() -> str:
+    """DuckDB twin of ops/graph.py:host_components — the same link
+    edges reduced to distinct cross-host pairs, components via a
+    WITH RECURSIVE reachability closure (min id per node), min-md5-id
+    host as the representative, edge-less hosts defaulting to
+    themselves."""
+    return f"""
+        WITH RECURSIVE {_link_edges_ctes()},
+        hosts AS (
+            SELECT DISTINCT split_part(u, '/', 3) AS h
+            FROM (SELECT src AS u FROM edges
+                  UNION ALL SELECT dst FROM edges)
+        ),
+        hid AS (
+            SELECT h, CAST(('0x' || substr(md5(h), 1, 16))::UBIGINT >> 1
+                           AS BIGINT) AS id
+            FROM hosts
+        ),
+        hedges AS (
+            SELECT DISTINCT a.id AS ia, b.id AS ib
+            FROM edges e
+            JOIN hid a ON split_part(e.src, '/', 3) = a.h
+            JOIN hid b ON split_part(e.dst, '/', 3) = b.h
+            WHERE a.id <> b.id
+        ),
+        sym AS (
+            SELECT ia, ib FROM hedges
+            UNION SELECT ib, ia FROM hedges
+        ),
+        walk(node, lab) AS (
+            SELECT ia, ia FROM sym
+            UNION
+            SELECT s.ib, w.lab FROM walk w JOIN sym s ON s.ia = w.node
+        ),
+        comp AS (
+            SELECT node, MIN(lab) AS lab FROM walk GROUP BY node
+        )
+        SELECT h.h AS host, COALESCE(l.h, h.h) AS component
+        FROM hid h
+        LEFT JOIN comp c ON h.id = c.node
+        LEFT JOIN hid l ON c.lab = l.id
     """
 
 
@@ -2433,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_round0": _crawl_round0_sql(),
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),
+        "host_components": _host_components_sql(),
         "c4_line_filter": _c4_line_filter_sql(),
         # pack_sequences: the shuffle_ranks key order with a weighted
         # prefix-sum window; weights are the est_tokens estimator

@@ -82,6 +82,35 @@ def test_edges_with_outdeg_and_nodes(ray_session):
                    "f": 1, "g": 1}
 
 
+def test_host_components(ray_session):
+    """Two link-connected host families + an isolated host: components
+    equal a sequential union-find, with the min-md5 host as the
+    canonical representative."""
+    import hashlib
+
+    urls = {h: f"https://{h}/p" for h in
+            ["a.example", "b.example", "c.example",
+             "d.example", "e.example", "f.example"]}
+    edges = [
+        (urls["a.example"], urls["b.example"]),
+        (urls["b.example"], urls["c.example"]),   # {a,b,c}
+        (urls["d.example"], urls["e.example"]),   # {d,e}
+        (urls["f.example"], urls["f.example"]),   # self-link: isolated
+    ]
+    got = graph.host_components(_edges_ds(edges)).to_pandas()
+    comp = dict(zip(got["host"], got["component"]))
+
+    def md5i(h):
+        return int.from_bytes(hashlib.md5(h.encode()).digest()[:8],
+                              "big") >> 1
+
+    rep_abc = min(["a.example", "b.example", "c.example"], key=md5i)
+    rep_de = min(["d.example", "e.example"], key=md5i)
+    assert comp == {"a.example": rep_abc, "b.example": rep_abc,
+                    "c.example": rep_abc, "d.example": rep_de,
+                    "e.example": rep_de, "f.example": "f.example"}
+
+
 def test_top_indegree(ray_session):
     got = graph.top_indegree(_edges_ds(_EDGES), k=3).to_pandas()
     ref = (pd.DataFrame(_EDGES, columns=["src", "dst"])

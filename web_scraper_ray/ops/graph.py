@@ -353,6 +353,128 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
         batch_format="pandas")
 
 
+def _host_of(series: pd.Series) -> pd.Series:
+    """netloc of an absolute URL (scheme://host/...)."""
+    return series.str.split("/").str[2]
+
+
+def _hid(series: pd.Series) -> np.ndarray:
+    """Positive-int63 md5 id of a host string — the canonical node id
+    for component labeling; its DuckDB twin is
+    ``('0x' || substr(md5(h), 1, 16))::UBIGINT >> 1``."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(h).encode()).digest()[:8],
+                        "big") >> 1 for h in series),
+        dtype=np.int64, count=len(series))
+
+
+def host_components(edges: ray.data.Dataset,
+                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Connected components of the HOST graph (two hosts connect when
+    any page links across them) — the site-clustering signal (mirror
+    detection, domain families, crawl sharding). Returns
+    (host, component) for every distinct host, where ``component`` is
+    the host with the minimal md5 id in its component (a canonical
+    representative both sides can compute).
+
+    Shape: hosts get int63 md5 ids; cross-host edges feed
+    :func:`web_scraper_ray.ops.dedup.components_min_label` (one-task
+    union-find under the cutoff, iterative min-label shuffles above
+    it); two slim bucketed groupby joins map ids back to host strings
+    and default edge-less hosts to their own component. Host rows are
+    tiny — nothing here ever carries page text."""
+    from .dedup import components_min_label
+
+    def hpairs(df: pd.DataFrame) -> pd.DataFrame:
+        ha, hb = _host_of(df["src"]), _host_of(df["dst"])
+        m = (ha != hb).to_numpy(dtype=bool)
+        sub = pd.DataFrame({"a": ha[m].to_numpy(),
+                            "b": hb[m].to_numpy()}).drop_duplicates()
+        return pd.DataFrame({"id_a": _hid(sub["a"]),
+                             "id_b": _hid(sub["b"])})
+
+    def hmap(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = pd.unique(pd.concat([_host_of(df["src"]),
+                                     _host_of(df["dst"])],
+                                    ignore_index=True))
+        hosts = pd.Series(hosts, dtype=object)
+        return pd.DataFrame({"k": _hid(hosts), "host": hosts.to_numpy()})
+
+    comp = components_min_label(edges.map_batches(
+        hpairs, batch_format="pandas"))
+    # pinned once: feeds both resolve passes (and the edge scan
+    # shouldn't run twice)
+    maps = edges.map_batches(hmap, batch_format="pandas").materialize()
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = df["k"].to_numpy() % n_buckets
+        return df
+
+    def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["node"].to_numpy(dtype=np.int64),
+                             "host": "", "lab": df["label"].to_numpy(),
+                             "side": "c"})
+
+    def tag_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["k"].to_numpy(dtype=np.int64),
+                             "host": df["host"].to_numpy(),
+                             "lab": np.int64(0), "side": "m"})
+
+    _EMPTY2 = pd.DataFrame({"host": pd.Series([], dtype=object),
+                            "lab": pd.Series([], dtype="int64")})
+
+    def resolve_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        """host of every node id; edge-less hosts label themselves."""
+        m = (g.loc[g["side"] == "m", ["k", "host"]]
+             .drop_duplicates("k").set_index("k")["host"])
+        if not len(m):
+            return _EMPTY2
+        c = (g.loc[g["side"] == "c", ["k", "lab"]]
+             .drop_duplicates("k").set_index("k")["lab"])
+        idx = m.index.to_numpy(dtype=np.int64)
+        # indexer-based lookup, NOT reindex: reindex widens int64
+        # labels to float64 and md5 ids exceed 2^53
+        pos = c.index.get_indexer(idx)
+        cv = c.to_numpy(dtype=np.int64) if len(c) else np.zeros(
+            1, dtype=np.int64)
+        lab = np.where(pos >= 0, cv[np.clip(pos, 0, None)], idx)
+        return pd.DataFrame({"host": m.to_numpy(),
+                             "lab": lab.astype(np.int64)})
+
+    hosts_lab = (comp.map_batches(tag_comp, batch_format="pandas")
+                 .union(maps.map_batches(tag_map, batch_format="pandas"))
+                 .map_batches(add_bkt, batch_format="pandas")
+                 .groupby("__bkt")
+                 .map_groups(resolve_nodes, batch_format="pandas"))
+
+    _EMPTY3 = pd.DataFrame({"host": pd.Series([], dtype=object),
+                            "component": pd.Series([], dtype=object)})
+
+    def tag_pending(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["lab"].to_numpy(dtype=np.int64),
+                             "host": df["host"].to_numpy(),
+                             "lab": np.int64(0), "side": "p"})
+
+    def resolve_labels(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.loc[g["side"] == "m", ["k", "host"]]
+             .drop_duplicates("k").set_index("k")["host"])
+        p = g.loc[g["side"] == "p"]
+        if not len(p):
+            return _EMPTY3
+        return pd.DataFrame({
+            "host": p["host"].to_numpy(),
+            "component": p["k"].map(m).to_numpy(dtype=object)})
+
+    return (hosts_lab.map_batches(tag_pending, batch_format="pandas")
+            .union(maps.map_batches(tag_map, batch_format="pandas"))
+            .map_batches(add_bkt, batch_format="pandas")
+            .groupby("__bkt")
+            .map_groups(resolve_labels, batch_format="pandas"))
+
+
 def top_indegree(edges: ray.data.Dataset, k: int = 20,
                  n_buckets: int = 32) -> ray.data.Dataset:
     """Top-k nodes by in-degree (ties broken by node asc — a total
