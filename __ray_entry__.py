@@ -940,6 +940,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.top_indegree(graph.link_edges(f"{corpus}/pages"),
                                   k=20)
 
+    def q_anchor_texts(sf_dir: str):
+        # per-target anchor-text corpus over the fixed-path synthetic
+        # pages; the oracle re-extracts (href, text) pairs by regex and
+        # re-aggregates with an ordered string_agg
+        from web_scraper_ray.ops import graph
+
+        corpus = _round0_corpus()
+        return graph.anchor_texts(f"{corpus}/pages")
+
     def q_host_components(sf_dir: str):
         # site clustering: connected components of the host graph,
         # min-md5 host as the canonical representative; the oracle
@@ -1041,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "top_indegree": q_top_indegree,
         "host_components": q_host_components,
+        "anchor_texts": q_anchor_texts,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
@@ -1256,6 +1266,41 @@ def _pagerank_sql(iters: int = 4, dp: int = 85, scale: int = 10**12) -> str:
             FROM nodes CROSS JOIN cnt c
         ),{','.join(its)}
         SELECT node, CAST(pr AS BIGINT) AS pr FROM r{iters}
+    """
+
+
+def _anchor_texts_sql() -> str:
+    """DuckDB twin of ops/graph.py:anchor_texts: (href, text) pairs
+    re-extracted with a two-group regex (parallel unnest zips the
+    groups; generate_subscripts pins in-page order), hrefs resolved
+    absolute, one ordered string_agg per target."""
+    corpus = _round0_corpus()
+    pat = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
+    return f"""
+        WITH pages AS (
+            SELECT url, decode(html) AS h
+            FROM read_parquet('{corpus}/pages/*.parquet')
+        ),
+        az AS (
+            SELECT url AS src,
+                   generate_subscripts(
+                       regexp_extract_all(h, '{pat}', 1), 1) AS i,
+                   unnest(regexp_extract_all(h, '{pat}', 1)) AS href,
+                   unnest(regexp_extract_all(h, '{pat}', 2)) AS txt
+            FROM pages
+        ),
+        resolved AS (
+            SELECT src, i, txt,
+                   CASE WHEN contains(href, '://') THEN href
+                        ELSE split_part(src, '/', 1) || '//' ||
+                             split_part(src, '/', 3) || href
+                   END AS dst
+            FROM az
+        )
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               string_agg(txt, chr(10) ORDER BY src, i) AS anchors
+        FROM resolved
+        GROUP BY dst
     """
 
 
@@ -2488,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),
         "host_components": _host_components_sql(),
+        "anchor_texts": _anchor_texts_sql(),
         "c4_line_filter": _c4_line_filter_sql(),
         # pack_sequences: the shuffle_ranks key order with a weighted
         # prefix-sum window; weights are the est_tokens estimator

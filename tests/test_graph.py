@@ -120,6 +120,31 @@ def test_top_indegree(ray_session):
     assert list(got["indegree"]) == list(ref["indegree"].head(3))
 
 
+def test_anchor_texts_order_and_multiplicity(ray_session, tmp_path):
+    """Anchors fold per target in (src, in-page position) order;
+    duplicate links keep their multiplicity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"url": "https://a.example/1",
+         "html": ('<a href="/t">first</a><a href="/t">second</a>'
+                  '<a href="https://b.example/x">cross</a>')},
+        {"url": "https://b.example/2",
+         "html": '<a href="https://a.example/t">other-site</a>'},
+    ]
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "url": [r["url"] for r in rows],
+        "html": [r["html"].encode() for r in rows]}), d / "p.parquet")
+    got = graph.anchor_texts(str(d)).to_pandas().set_index("dst")
+    assert got.loc["https://a.example/t", "anchors"] == (
+        "first\nsecond\nother-site")
+    assert got.loc["https://a.example/t", "n_anchors"] == 3
+    assert got.loc["https://b.example/x", "anchors"] == "cross"
+
+
 def test_link_edges_on_corpus(ray_session, tmp_path):
     """Kernel-extracted edges equal a regex pass over the same HTML
     (the SQL oracle's derivation) — per-page distinct, absolute."""

@@ -353,6 +353,62 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
         batch_format="pandas")
 
 
+def anchor_texts(pages_path: str, n_buckets: int = 32,
+                 sep: str = "\n") -> ray.data.Dataset:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    signal (every link text pointing at a URL, the target's
+    description written by OTHER pages; query-document pairs for
+    retrieval training). Returns (dst, n_anchors, anchors) where
+    ``anchors`` concatenates every anchor text in deterministic
+    (src, in-page position) order.
+
+    One DOM pass over (url, html) emitting slim (src, pos, dst, txt)
+    rows — page HTML never rides the shuffle — then one bucketed
+    groupby folding each target's anchors in order. Multi-edges kept:
+    anchor-text FREQUENCY is part of the signal."""
+    from ..dom import parse
+    from ..functions.urls import resolve_link
+
+    def anchors_of(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, poss, dsts, txts = [], [], [], []
+        for url, html in zip(df["url"], df["html"]):
+            if isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            for pos, a in enumerate(parse(html).find_all("a")):
+                href = a.get("href")
+                if href:
+                    srcs.append(url)
+                    poss.append(pos)
+                    dsts.append(resolve_link(url, href))
+                    txts.append(a.get_text())
+        out = pd.DataFrame({"src": pd.Series(srcs, dtype=object),
+                            "pos": pd.Series(poss, dtype="int64"),
+                            "dst": pd.Series(dsts, dtype=object),
+                            "txt": pd.Series(txts, dtype=object)})
+        out["__bkt"] = _bkt(out["dst"], n_buckets)
+        return out
+
+    _EMPTY = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                           "n_anchors": pd.Series([], dtype="int64"),
+                           "anchors": pd.Series([], dtype=object)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        g = g.sort_values(["dst", "src", "pos"], kind="mergesort")
+        agg = g.groupby("dst", sort=False)["txt"].agg(
+            n_anchors="size", anchors=sep.join)
+        return pd.DataFrame({
+            "dst": agg.index.to_numpy(),
+            "n_anchors": agg["n_anchors"].to_numpy(dtype=np.int64),
+            "anchors": agg["anchors"].to_numpy(dtype=object)})
+
+    return (sized_read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(anchors_of, batch_format="pandas",
+                         batch_size=256)
+            .groupby("__bkt").map_groups(fold, batch_format="pandas"))
+
+
 def _host_of(series: pd.Series) -> pd.Series:
     """netloc of an absolute URL (scheme://host/...)."""
     return series.str.split("/").str[2]
