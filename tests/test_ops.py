@@ -1142,12 +1142,13 @@ def test_pack_sequences_matches_sequential_model(ray_session):
         want[r["doc_id"]] = (rk, tok, tok // 64, tok % 64)
         tok += r["w"]
 
-    for parts in (None, 7):
+    # bucket_bits is internal partitioning only — results identical
+    for parts, bits in ((None, 8), (7, 4)):
         ds = ray.data.from_items(rows)
         if parts:
             ds = ds.repartition(parts)
         got = pack_sequences(ds, seqlen=64, weight_col="w",
-                             seed=5).to_pandas()
+                             seed=5, bucket_bits=bits).to_pandas()
         gmap = {r.doc_id: (r.rank, r.tok_start, r.seq_id, r.seq_off)
                 for r in got.itertuples()}
         assert gmap == want

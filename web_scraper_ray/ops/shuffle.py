@@ -30,7 +30,12 @@ import pandas as pd
 import ray
 import ray.data
 
-_N_BUCKETS = 256  # top byte of the key; offsets are a 256-int table
+#: default bucket bit-width: top byte of the key -> 256 range-ordered
+#: buckets / reduce partitions, offsets a 256-int table. At corpus
+#: scale raise ``bucket_bits`` (e.g. 16 -> 65,536 partitions) so a
+#: single bucket never outgrows a worker: ranks/offsets are IDENTICAL
+#: for any width (buckets are internal partitioning only).
+_BUCKET_BITS = 8
 
 
 def _shuffle_keys(ids, seed: int) -> np.ndarray:
@@ -43,9 +48,9 @@ def _shuffle_keys(ids, seed: int) -> np.ndarray:
 
 
 @ray.remote(num_cpus=0)
-def _bucket_offsets(*tables) -> np.ndarray:
+def _bucket_offsets(n_buckets: int, *tables) -> np.ndarray:
     """Exclusive cumulative counts per RANGE-ordered bucket."""
-    counts = np.zeros(_N_BUCKETS, dtype=np.int64)
+    counts = np.zeros(n_buckets, dtype=np.int64)
     for t in tables:
         if t.num_rows:
             b = t.column("bkt").to_numpy(zero_copy_only=False)
@@ -58,6 +63,7 @@ def shuffle_ranks(
     ds: ray.data.Dataset,
     seed: int = 17,
     id_col: str = "doc_id",
+    bucket_bits: int = _BUCKET_BITS,
 ) -> ray.data.Dataset:
     """Rows ``(id, rank)`` where ``rank`` is the row's exact 0-based
     position in the deterministic shuffled order (ascending
@@ -65,6 +71,7 @@ def shuffle_ranks(
     stream the corpus in training order."""
     from ray.data.aggregate import Sum
 
+    shift = np.uint64(64 - bucket_bits)
     slim = ds.select_columns([id_col])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -72,7 +79,7 @@ def shuffle_ranks(
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "k": k,
-            "bkt": (k >> np.uint64(56)).astype(np.int64),
+            "bkt": (k >> shift).astype(np.int64),
         })
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -85,7 +92,8 @@ def shuffle_ranks(
     with_keys = slim.map_batches(keyed, batch_format="pandas").materialize()
     bucket_counts = (with_keys.map_batches(counts, batch_format="pandas")
                      .groupby("bkt").aggregate(Sum("n", alias_name="n")))
-    offsets_ref = _bucket_offsets.remote(*bucket_counts.to_arrow_refs())
+    offsets_ref = _bucket_offsets.remote(1 << bucket_bits,
+                                         *bucket_counts.to_arrow_refs())
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         offsets = ray.get(offsets_ref)
@@ -106,6 +114,7 @@ def pack_sequences(
     weight_col: str,
     seed: int = 17,
     id_col: str = "doc_id",
+    bucket_bits: int = _BUCKET_BITS,
 ) -> ray.data.Dataset:
     """Deterministic concat-then-chunk sequence packing: documents are
     laid out in the :func:`shuffle_ranks` order and their token counts
@@ -127,6 +136,7 @@ def pack_sequences(
     ``oracle_sql()['pack_sequences']`` (one SUM() OVER window)."""
     from ray.data.aggregate import Sum
 
+    shift = np.uint64(64 - bucket_bits)
     slim = ds.select_columns([id_col, weight_col])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -135,7 +145,7 @@ def pack_sequences(
             id_col: df[id_col].to_numpy(),
             "w": df[weight_col].to_numpy(dtype=np.int64),
             "k": k,
-            "bkt": (k >> np.uint64(56)).astype(np.int64),
+            "bkt": (k >> shift).astype(np.int64),
         })
 
     def wcounts(df: pd.DataFrame) -> pd.DataFrame:
@@ -148,7 +158,8 @@ def pack_sequences(
     totals = (with_keys.map_batches(wcounts, batch_format="pandas")
               .groupby("bkt").aggregate(Sum("n", alias_name="n"),
                                         Sum("w", alias_name="w")))
-    offs_ref = _bucket_offsets2.remote(*totals.to_arrow_refs())
+    offs_ref = _bucket_offsets2.remote(1 << bucket_bits,
+                                       *totals.to_arrow_refs())
 
     def pack_group(g: pd.DataFrame) -> pd.DataFrame:
         rank_off, tok_off = ray.get(offs_ref)
@@ -170,11 +181,11 @@ def pack_sequences(
 
 
 @ray.remote(num_cpus=0)
-def _bucket_offsets2(*tables) -> tuple[np.ndarray, np.ndarray]:
+def _bucket_offsets2(n_buckets: int, *tables) -> tuple[np.ndarray, np.ndarray]:
     """Exclusive cumulative (row count, weight) per range-ordered
     bucket."""
-    counts = np.zeros(_N_BUCKETS, dtype=np.int64)
-    weights = np.zeros(_N_BUCKETS, dtype=np.int64)
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    weights = np.zeros(n_buckets, dtype=np.int64)
     for t in tables:
         if t.num_rows:
             b = t.column("bkt").to_numpy(zero_copy_only=False)
