@@ -940,6 +940,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.top_indegree(graph.link_edges(f"{corpus}/pages"),
                                   k=20)
 
+    def q_hits(sf_dir: str):
+        # HITS hubs/authorities; like pagerank, the oracle replays all
+        # iterations (normalize steps included) as unrolled CTEs
+        from web_scraper_ray.ops import graph
+
+        corpus = _round0_corpus()
+        return graph.hits(graph.link_edges(f"{corpus}/pages"), iters=4)
+
     def q_anchor_texts(sf_dir: str):
         # per-target anchor-text corpus over the fixed-path synthetic
         # pages; the oracle re-extracts (href, text) pairs by regex and
@@ -1051,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_indegree": q_top_indegree,
         "host_components": q_host_components,
         "anchor_texts": q_anchor_texts,
+        "hits": q_hits,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
@@ -1168,7 +1177,7 @@ def _link_edges_ctes() -> str:
                        AS href
             FROM pages
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT DISTINCT src,
                    CASE WHEN contains(href, '://') THEN href
                         ELSE split_part(src, '/', 1) || '//' ||
@@ -1345,6 +1354,58 @@ def _host_components_sql() -> str:
         FROM hid h
         LEFT JOIN comp c ON h.id = c.node
         LEFT JOIN hid l ON c.lab = l.id
+    """
+
+
+def _hits_sql(iters: int = 4, scale: int = 10**12) -> str:
+    """DuckDB twin of ops/graph.py:hits — unrolled (authority-raw,
+    total, normalize, hub-raw, total, normalize) CTEs per iteration;
+    native HUGEINT carries the raw*scale products that force the
+    engine's normalize step into Python ints."""
+    its = []
+    for t in range(iters):
+        its.append(f"""
+        ar{t} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(s.hub) AS raw
+            FROM edges e JOIN s{t} s ON e.src = s.node GROUP BY e.dst
+        ),
+        at{t} AS (SELECT COALESCE(SUM(raw), 0) AS tot FROM ar{t}),
+        a{t} AS MATERIALIZED (
+            SELECT nd.node,
+                   CASE WHEN t.tot = 0 THEN 0
+                        ELSE COALESCE(r.raw, 0) * {scale} // t.tot
+                   END AS auth
+            FROM nodes nd CROSS JOIN at{t} t
+            LEFT JOIN ar{t} r USING (node)
+        ),
+        hr{t} AS MATERIALIZED (
+            SELECT e.src AS node, SUM(a.auth) AS raw
+            FROM edges e JOIN a{t} a ON e.dst = a.node GROUP BY e.src
+        ),
+        ht{t} AS (SELECT COALESCE(SUM(raw), 0) AS tot FROM hr{t}),
+        s{t + 1} AS MATERIALIZED (
+            SELECT nd.node,
+                   CASE WHEN t.tot = 0 THEN 0
+                        ELSE COALESCE(r.raw, 0) * {scale} // t.tot
+                   END AS hub,
+                   a.auth
+            FROM nodes nd CROSS JOIN ht{t} t
+            LEFT JOIN hr{t} r USING (node)
+            JOIN a{t} a USING (node)
+        )""")
+    return f"""
+        WITH {_link_edges_ctes()},
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        s0 AS MATERIALIZED (
+            SELECT node, {scale} // c.n AS hub, {scale} // c.n AS auth
+            FROM nodes CROSS JOIN cnt c
+        ),{','.join(its)}
+        SELECT node, CAST(auth AS BIGINT) AS auth,
+               CAST(hub AS BIGINT) AS hub
+        FROM s{iters}
     """
 
 
@@ -2534,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "top_indegree": _top_indegree_sql(),
         "host_components": _host_components_sql(),
         "anchor_texts": _anchor_texts_sql(),
+        "hits": _hits_sql(),
         "c4_line_filter": _c4_line_filter_sql(),
         # pack_sequences: the shuffle_ranks key order with a weighted
         # prefix-sum window; weights are the est_tokens estimator

@@ -71,6 +71,37 @@ def test_pagerank_sink_beats_source(ray_session):
     assert pr["c"] > pr["g"]  # c has 3 in-links, g has none
 
 
+def _ref_hits(edges, iters=4, scale=10**12):
+    """Sequential twin of ops/graph.py:hits."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: scale // n for v in nodes}
+
+    def norm(raw):
+        tot = sum(raw.values())
+        return {v: (raw[v] * scale // tot if tot else 0) for v in raw}
+
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for s, d in edges:
+            ar[d] += hub[s]
+        auth = norm(ar)
+        hr = {v: 0 for v in nodes}
+        for s, d in edges:
+            hr[s] += auth[d]
+        hub = norm(hr)
+    return auth, hub
+
+
+def test_hits_equals_sequential_model(ray_session):
+    got = graph.hits(_edges_ds(_EDGES), iters=4).to_pandas()
+    want_a, want_h = _ref_hits(_EDGES, iters=4)
+    assert dict(zip(got["node"], got["auth"])) == want_a
+    assert dict(zip(got["node"], got["hub"])) == want_h
+
+
 def test_edges_with_outdeg_and_nodes(ray_session):
     ed = graph.edges_with_outdeg(_edges_ds(_EDGES)).to_pandas()
     assert dict(zip(ed["src"], ed["outdeg"]))["a"] == 2

@@ -353,6 +353,85 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
         batch_format="pandas")
 
 
+def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
+         n_buckets: int = 32) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over (src, dst) edges — the
+    complementary link signal to :func:`pagerank` (authorities =
+    heavily-referenced content, hubs = good link collections; both are
+    crawl-priority and curation features).
+
+    Fixed-point integer arithmetic, hash-checkable like pagerank:
+      a_raw(v) = Σ over in-edges (u, v) of hub(u)
+      a(v)     = a_raw(v) * scale // Σ a_raw      (L1 normalization)
+      h_raw(u) = Σ over out-edges (u, v) of a(v)
+      h(u)     = h_raw(u) * scale // Σ h_raw
+    both vectors init to scale // n. ``a_raw * scale`` exceeds int64,
+    so the normalize step runs in exact Python ints (O(n) driver work
+    on two already-driver-resident vectors); the DuckDB twin uses
+    native HUGEINT.
+
+    Broadcast regime only (object-store node table, zero shuffles per
+    iteration — bounded exactly like :func:`_pagerank_broadcast`);
+    graphs beyond that bound want the pagerank bucketed message-passing
+    pattern with (hub, auth) riding one state row, which this module
+    documents as the scale path but does not duplicate.
+
+    Returns (node, auth, hub)."""
+    edges_deg = edges_with_outdeg(edges, n_buckets).materialize()
+    nodes = graph_nodes(edges_deg, n_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "auth": df["outdeg"],
+                                     "hub": df["outdeg"]}),
+            batch_format="pandas")
+    setup_ref = _fold_node_table.remote(*nodes.to_arrow_refs())
+
+    def _norm(raw: np.ndarray) -> np.ndarray:
+        total = int(raw.sum())
+        if total == 0:
+            return np.zeros_like(raw)
+        return np.fromiter((int(x) * scale // total for x in raw),
+                           dtype=np.int64, count=len(raw))
+
+    def _push(vec: np.ndarray, group_on: str, emit: str) -> np.ndarray:
+        """Σ of vec over edges, grouped by ``emit``'s node index."""
+        vec_ref = ray.put(vec)
+
+        def part(df: pd.DataFrame, _vec_ref=vec_ref) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"di": pd.Series([], dtype="int64"),
+                                     "c": pd.Series([], dtype="int64")})
+            nm, _ = ray.get(setup_ref)
+            v = ray.get(_vec_ref)
+            gi = np.searchsorted(nm, np.asarray(df[group_on], dtype="U"))
+            ei = np.searchsorted(nm, np.asarray(df[emit], dtype="U"))
+            agg = pd.Series(v[gi], index=ei).groupby(level=0).sum()
+            return pd.DataFrame({"di": agg.index.to_numpy(dtype=np.int64),
+                                 "c": agg.to_numpy(dtype=np.int64)})
+
+        parts = edges_deg.map_batches(
+            part, batch_format="pandas").to_arrow_refs()
+        return ray.get(_fold_incoming.remote(n, *parts))
+
+    hub = np.full(n, scale // n, dtype=np.int64)
+    auth = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        auth = _norm(_push(hub, "src", "dst"))
+        hub = _norm(_push(auth, "dst", "src"))
+
+    @ray.remote(num_cpus=0)
+    def named(setup, a, h):
+        import pyarrow as pa
+
+        return pa.table({"node": pa.array(setup[0].astype(object)),
+                         "auth": pa.array(a, pa.int64()),
+                         "hub": pa.array(h, pa.int64())})
+
+    return ray.data.from_arrow_refs([named.remote(setup_ref, auth, hub)])
+
+
 def anchor_texts(pages_path: str, n_buckets: int = 32,
                  sep: str = "\n") -> ray.data.Dataset:
     """Per-target anchor-text aggregation — the classic web-corpus
