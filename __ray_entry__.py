@@ -940,6 +940,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.top_indegree(graph.link_edges(f"{corpus}/pages"),
                                   k=20)
 
+    def q_cap_per_source(sf_dir: str):
+        # per-domain quota: keep each source's 10 longest documents
+        # (n_chars desc, doc_id asc tiebreak — a total order; sources
+        # hold 25+ docs at every sf, so the cap actually bites)
+        from web_scraper_ray.ops.sampling import cap_per_group
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source", "n_chars"])
+        return cap_per_group(ds, "source", k=10, order_col="n_chars")
+
     def q_hits(sf_dir: str):
         # HITS hubs/authorities; like pagerank, the oracle replays all
         # iterations (normalize steps included) as unrolled CTEs
@@ -1060,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": q_host_components,
         "anchor_texts": q_anchor_texts,
         "hits": q_hits,
+        "cap_per_source": q_cap_per_source,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
@@ -2596,6 +2607,18 @@ def oracle_sql() -> dict[str, str]:
         "host_components": _host_components_sql(),
         "anchor_texts": _anchor_texts_sql(),
         "hits": _hits_sql(),
+        # cap_per_group: per-source quota via a row_number window
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            )
+            WHERE rn <= 10
+        """,
         "c4_line_filter": _c4_line_filter_sql(),
         # pack_sequences: the shuffle_ranks key order with a weighted
         # prefix-sum window; weights are the est_tokens estimator

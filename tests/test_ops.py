@@ -659,6 +659,32 @@ def test_pii_redact_planted(ray_session):
     assert ds_out.equals(out)
 
 
+def test_cap_per_group_quota(ray_session):
+    """Per-group cap keeps exactly the k best (order desc, id asc
+    tiebreak), identically at any partitioning."""
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import cap_per_group
+
+    df = pd.DataFrame({
+        "doc_id": range(12),
+        "src": ["a"] * 6 + ["b"] * 4 + ["c"] * 2,
+        "q": [5, 3, 9, 9, 1, 7, 2, 8, 8, 0, 4, 4],
+    })
+    want = [("a", 2), ("a", 3), ("b", 7), ("b", 8), ("c", 10), ("c", 11)]
+    for parts in (None, 5):
+        ds = ray.data.from_pandas(df)
+        if parts:
+            ds = ds.repartition(parts)
+        out = cap_per_group(ds, "src", 2, "q").to_pandas()
+        assert sorted(zip(out["src"], out["doc_id"])) == want
+    # ascending=True flips "best" to the smallest values
+    low = cap_per_group(ray.data.from_pandas(df), "src", 1, "q",
+                        ascending=True).to_pandas()
+    assert sorted(zip(low["src"], low["doc_id"])) == [
+        ("a", 4), ("b", 9), ("c", 10)]
+
+
 def test_stratified_sample_rates(ray_session):
     import ray.data
 

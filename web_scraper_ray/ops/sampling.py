@@ -148,3 +148,43 @@ def hash_split(
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def cap_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    k: int,
+    order_col: str,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cap every group's corpus contribution at its ``k`` best rows —
+    the per-domain quota of a corpus mix (a handful of mega-hosts
+    otherwise dominate a web corpus). "Best" = ``order_col`` descending
+    (or ascending), ties broken by ``id_col`` ascending — a total
+    order, so the survivor set is parallelism- and resume-stable.
+
+    One bucketed shuffle: group keys hash to coarse ``__bkt`` buckets
+    (never a groupby on the raw group key — corpus-cardinality key
+    groupbys shatter into per-group task overhead) and each partition
+    runs a vectorized sort + per-group cumcount. Rows ride the shuffle
+    whole; callers selecting columns first ship less."""
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (
+            pd.util.hash_array(df[group_col].to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.drop(columns=["__bkt"])
+        g = g.sort_values([group_col, order_col, id_col],
+                          ascending=[True, ascending, True],
+                          kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        return g.loc[rank.to_numpy() < k].drop(columns=["__bkt"])
+
+    return (ds.map_batches(add_bkt, batch_format="pandas")
+            .groupby("__bkt").map_groups(cap, batch_format="pandas"))
