@@ -192,8 +192,11 @@ def run_bench() -> dict:
         queries["bm25_topk"] = round(time.time() - t0, 3)
 
         # --- link-graph over the bench corpus (edge extraction is a
-        # second DOM pass over every page; pagerank is 2 bucketed
-        # shuffles x 4 iterations over the slim edge table) ---
+        # second DOM pass over every page; pagerank here runs the
+        # BROADCAST regime — bench-corpus node counts sit far below
+        # max_broadcast_nodes — so the timing covers the 2-shuffle
+        # setup plus zero-shuffle iterations; the bucketed regime is
+        # measured separately in BASELINE.md) ---
         t0 = time.time()
         from web_scraper_ray.ops.graph import link_edges, pagerank
 

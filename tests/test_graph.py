@@ -58,6 +58,16 @@ def test_pagerank_equals_sequential_model(ray_session, mode, n_buckets):
     assert dict(zip(got["node"], got["pr"])) == want
 
 
+def test_pagerank_bucketed_exact_above_2_53(ray_session):
+    """Regression: bucketed fold must not roundtrip incoming sums
+    through float64 — at scale=10**16 sums exceed 2^53 and a
+    .map().fillna() lookup silently rounds them."""
+    got = graph.pagerank(_edges_ds(_EDGES), iters=4, mode="bucketed",
+                         scale=10**16, n_buckets=3).to_pandas()
+    want = _ref_pagerank(_EDGES, iters=4, scale=10**16)
+    assert dict(zip(got["node"], got["pr"])) == want
+
+
 def test_pagerank_mass_conserved(ray_session):
     scale = 10**12
     got = graph.pagerank(_edges_ds(_EDGES), iters=3, scale=scale).to_pandas()

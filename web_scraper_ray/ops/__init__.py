@@ -10,6 +10,18 @@ import os
 from typing import Optional
 
 
+def bucket_of(series, n_buckets: int):
+    """Deterministic vectorized shuffle bucket of a string key column
+    (``pandas.util.hash_array``, fixed hash key). Internal partitioning
+    only — bucket values never appear in results, so they need no SQL
+    twin. Shared by the graph and sampling operators."""
+    import numpy as np
+    import pandas as pd
+
+    return (pd.util.hash_array(series.to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
 def sized_read_parquet(path: str, columns: Optional[list[str]] = None,
                        target_block_bytes: int = 32 << 20):
     """``read_parquet`` with a byte-aware block count.

@@ -41,18 +41,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data
 
+from . import bucket_of as _bkt
 from . import sized_read_parquet
 
 
-def _bkt(series: pd.Series, n_buckets: int) -> np.ndarray:
-    """Deterministic vectorized shuffle bucket of a string key."""
-    return (pd.util.hash_array(series.to_numpy(dtype=object))
-            % np.uint64(n_buckets)).astype(np.int64)
-
-
-def link_edges(pages_path: str, n_buckets: int = 32) -> ray.data.Dataset:
+def link_edges(pages_path: str) -> ray.data.Dataset:
     """Distinct (src, dst) out-link edges of a pages table, absolute
     URLs, via the extraction kernel's DOM walk. Column-pruned read
     (url + html only); no shuffle (see module doc)."""
@@ -129,9 +125,6 @@ def graph_nodes(edges_deg: ray.data.Dataset,
 
     return (edges_deg.map_batches(endpoints, batch_format="pandas")
             .groupby("__bkt").map_groups(fold, batch_format="pandas"))
-
-
-import ray
 
 
 @ray.remote(num_cpus=0)
@@ -335,7 +328,14 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
             c = g.loc[g["side"] == "c"]
             insum = (pd.Series(c["val"].to_numpy(), index=c["key"])
                      .groupby(level=0, sort=False).sum())
-            inc = nrows["key"].map(insum).fillna(0).to_numpy(dtype=np.int64)
+            # indexer lookup, NOT .map().fillna(): a missing key turns
+            # the column float64 and int64 sums above 2^53 would round,
+            # breaking bit-exactness with the broadcast regime / oracle
+            pos = insum.index.get_indexer(nrows["key"])
+            iv = insum.to_numpy(dtype=np.int64) if len(insum) else (
+                np.zeros(1, dtype=np.int64))
+            inc = np.where(pos >= 0, iv[np.clip(pos, 0, None)],
+                           np.int64(0))
             rank = base + dp * (inc + _dang_share) // 100
             return pd.DataFrame({"node": nrows["key"].to_numpy(),
                                  "rank": rank.astype("int64"),
@@ -377,8 +377,13 @@ def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
     documents as the scale path but does not duplicate.
 
     Returns (node, auth, hub)."""
-    edges_deg = edges_with_outdeg(edges, n_buckets).materialize()
-    nodes = graph_nodes(edges_deg, n_buckets).materialize()
+    # HITS never uses out-degree: skip edges_with_outdeg's shuffle and
+    # build the node table from bare endpoints (zero-outdeg rows feed
+    # graph_nodes' endpoints fold)
+    edges_m = edges.materialize()
+    with_zero = edges_m.map_batches(
+        lambda df: df.assign(outdeg=np.int64(0)), batch_format="pandas")
+    nodes = graph_nodes(with_zero, n_buckets).materialize()
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -411,7 +416,7 @@ def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
             return pd.DataFrame({"di": agg.index.to_numpy(dtype=np.int64),
                                  "c": agg.to_numpy(dtype=np.int64)})
 
-        parts = edges_deg.map_batches(
+        parts = edges_m.map_batches(
             part, batch_format="pandas").to_arrow_refs()
         return ray.get(_fold_incoming.remote(n, *parts))
 

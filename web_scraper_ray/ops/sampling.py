@@ -170,11 +170,11 @@ def cap_per_group(
     groupbys shatter into per-group task overhead) and each partition
     runs a vectorized sort + per-group cumcount. Rows ride the shuffle
     whole; callers selecting columns first ship less."""
+    from . import bucket_of
+
     def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__bkt"] = (
-            pd.util.hash_array(df[group_col].to_numpy(dtype=object))
-            % np.uint64(n_buckets)).astype(np.int64)
+        df["__bkt"] = bucket_of(df[group_col], n_buckets)
         return df
 
     def cap(g: pd.DataFrame) -> pd.DataFrame:
