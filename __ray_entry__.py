@@ -681,6 +681,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tfidf_topk(ds, k=5)
 
+    def _lm_target(sf_dir: str):
+        # CCNet target domain: the corpus's English subset stands in
+        # for the curated LM-training text
+        return sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        ).map_batches(lambda df: df.loc[df["lang"] == "en", ["text"]],
+                      batch_format="pandas")
+
+    def q_lm_surprisal(sf_dir: str):
+        # CCNet-style unigram-LM scoring in exact whole-bit integer
+        # surprisal (ops/lm.py)
+        from web_scraper_ray.ops.lm import surprisal_scores
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return surprisal_scores(ds, _lm_target(sf_dir))
+
+    def q_lm_filter(sf_dir: str):
+        # CCNet "head" selection: keep docs within 4.13 bits/token of
+        # the target LM (the sf0.001 median — a nontrivial split)
+        from web_scraper_ray.ops.lm import surprisal_filter
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        kept = surprisal_filter(ds, _lm_target(sf_dir),
+                                max_mean_bits_e2=413)
+        return kept.select_columns(["doc_id", "lang", "source",
+                                    "n_chars"])
+
+    def q_bpe_merges(sf_dir: str):
+        # one BPE-training merge step: corpus-wide adjacent pre-token
+        # pair counts, global top-20 (ops/lm.py)
+        from web_scraper_ray.ops.lm import bpe_merge_counts
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return bpe_merge_counts(ds, k=20)
+
     def q_para_dedup(sf_dir: str):
         # corpus-wide paragraph dedup: first (doc_id, position)
         # occurrence of each distinct paragraph wins; docs rebuilt
@@ -1053,6 +1095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "doc_frequency": q_doc_frequency,
         "tfidf_topk": q_tfidf_topk,
+        "lm_surprisal": q_lm_surprisal,
+        "lm_filter": q_lm_filter,
+        "bpe_merges": q_bpe_merges,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
@@ -1849,6 +1894,36 @@ def _para_dedup_sql() -> str:
     """
 
 
+#: shared CTE prefix of the CCNet-style LM oracles (ops/lm.py): the
+#: English subset's unigram counts, total T, and per-(doc, token)
+#: whole-bit surprisal length(bin(T // (c+1))) - 1 — pure integer
+#: arithmetic, bit-equal to Python's (T // (c+1)).bit_length() - 1.
+_LM_SURPRISAL_SQL = """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ),
+            refcnt AS (
+                SELECT tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                                 COALESCE(text, ''),
+                                 '[^ \t\n\r\f\v]+')) AS tok
+                      FROM documents WHERE lang = 'en')
+                GROUP BY tok
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS T FROM refcnt),
+            b AS (
+                SELECT t.doc_id,
+                       length(bin(T // (COALESCE(r.c, 0) + 1))) - 1
+                           AS bits
+                FROM tok t LEFT JOIN refcnt r USING (tok)
+                CROSS JOIN tot
+            )
+"""
+
+
 #: document-frequency / tf-df CTEs (ASCII-whitespace tokens — the
 #: decontam token class). score = tf/df is ONE correctly-rounded IEEE
 #: double division on both sides, so the ranking replays bit-exactly.
@@ -2442,6 +2517,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_frequency": _DF_SQL,
         "tfidf_topk": _tfidf_topk_sql(),
+        # CCNet-style unigram-LM scoring (ops/lm.py): whole-bit
+        # surprisal floor(log2(T/(c+1))) replayed as integer
+        # length(bin(..)) arithmetic — no float log anywhere
+        "lm_surprisal": _LM_SURPRISAL_SQL + """
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(bits)::BIGINT AS total_bits,
+                   (100 * sum(bits)::BIGINT) // count(*)::BIGINT
+                       AS mean_bits_e2
+            FROM b GROUP BY doc_id
+        """,
+        "lm_filter": _LM_SURPRISAL_SQL + """
+            , agg AS (
+                SELECT doc_id,
+                       (100 * sum(bits)::BIGINT) // count(*)::BIGINT
+                           AS mean_bits_e2
+                FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN agg USING (doc_id)
+            WHERE agg.mean_bits_e2 <= 413
+        """,
+        # one BPE merge step (ops/lm.py): adjacent pre-token pair
+        # counts, deterministic (n desc, pair asc) top-20
+        "bpe_merges": """
+            WITH t AS (
+                SELECT regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS l
+                FROM documents
+            ),
+            pairs AS (
+                SELECT l[i] AS p1, l[i+1] AS p2
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(l)-1)) AS i
+                ) s
+            )
+            SELECT p1, p2, count(*)::BIGINT AS n
+            FROM pairs GROUP BY p1, p2
+            ORDER BY n DESC, p1, p2 LIMIT 20
+        """,
         "pii_redact": _pii_redact_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "embedding_outliers": _embedding_outliers_sql(),

@@ -1,0 +1,115 @@
+"""Unigram-LM surprisal scoring / filtering and BPE merge counting
+(ops/lm.py) against sequential pure-Python reference models."""
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+_TOK = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _ref_model(target_texts):
+    cnt = Counter()
+    for t in target_texts:
+        cnt.update(_TOK.findall(t))
+    total = sum(cnt.values())
+    bits = {tok: (total // (n + 1)).bit_length() - 1
+            for tok, n in cnt.items()}
+    return bits, total.bit_length() - 1
+
+
+def _ref_scores(texts, ids, bits, oov):
+    rows = []
+    for i, t in zip(ids, texts):
+        toks = _TOK.findall(t or "")
+        if not toks:
+            continue
+        tb = sum(bits.get(tok, oov) for tok in toks)
+        rows.append((i, len(toks), tb, (100 * tb) // len(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "total_bits",
+                                       "mean_bits_e2"])
+
+
+@pytest.fixture(scope="module")
+def lm_corpus(ray_session):
+    import ray.data
+
+    target = ["the cat sat on the mat", "the dog sat on the log",
+              "a cat and a dog met on the mat"]
+    docs = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},       # in-domain
+        {"doc_id": 1, "text": "zyx qwv unseen tokens only"},   # all OOV
+        {"doc_id": 2, "text": "the dog met a cat"},            # mixed
+        {"doc_id": 3, "text": ""},                              # zero tokens
+        {"doc_id": 4, "text": " \t\n "},                        # ws only
+        {"doc_id": 5, "text": "the the the the"},               # high freq
+    ]
+    return (ray.data.from_items(docs),
+            ray.data.from_items([{"text": t} for t in target]),
+            docs, target)
+
+
+def test_surprisal_matches_reference(lm_corpus):
+    from web_scraper_ray.ops.lm import surprisal_scores
+
+    ds, target_ds, docs, target = lm_corpus
+    got = (surprisal_scores(ds, target_ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    bits, oov = _ref_model(target)
+    want = _ref_scores([d["text"] for d in docs],
+                       [d["doc_id"] for d in docs], bits, oov)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # zero-token docs dropped; OOV doc scores strictly worse than in-domain
+    assert set(got["doc_id"]) == {0, 1, 2, 5}
+    by_id = got.set_index("doc_id")["mean_bits_e2"]
+    assert by_id[1] > by_id[0] and by_id[1] > by_id[5]
+
+
+def test_surprisal_filter_threshold(lm_corpus):
+    from web_scraper_ray.ops.lm import surprisal_filter, surprisal_scores
+
+    ds, target_ds, _, _ = lm_corpus
+    scores = surprisal_scores(ds, target_ds).to_pandas()
+    thr = int(scores["mean_bits_e2"].median())
+    kept = surprisal_filter(ds, target_ds, max_mean_bits_e2=thr).to_pandas()
+    want = set(scores.loc[scores["mean_bits_e2"] <= thr, "doc_id"])
+    assert set(kept["doc_id"]) == want
+    assert 0 < len(kept) < 6  # nontrivial split; empties dropped
+
+
+def test_bpe_merge_counts_reference(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.lm import bpe_merge_counts
+
+    texts = ["a b a b c", "a b", "c", "", "x", "b c a b a b"]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = bpe_merge_counts(ds, k=4).to_pandas()
+    ref = Counter()
+    for t in texts:
+        toks = _TOK.findall(t)
+        ref.update(zip(toks, toks[1:]))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(map(tuple, got[["p1", "p2"]].to_numpy())) == \
+        [p for p, _ in want]
+    assert list(got["n"]) == [n for _, n in want]
+    # tie order is (n desc, p1 asc, p2 asc) — deterministic
+    assert got.iloc[0][["p1", "p2"]].tolist() == ["a", "b"]
+
+
+def test_lm_degenerate_inputs(ray_session):
+    import ray.data
+    from web_scraper_ray.ops.lm import bpe_merge_counts, surprisal_scores
+
+    # corpus of only empty/whitespace docs: no scored rows, no pairs
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "  "}])
+    target = ray.data.from_items([{"text": "the cat"}])
+    assert surprisal_scores(ds, target).count() == 0
+    assert bpe_merge_counts(ds, k=5).count() == 0
+    # single-token docs produce no pairs either
+    singles = ray.data.from_items(
+        [{"doc_id": 0, "text": "one"}, {"doc_id": 1, "text": "two"}])
+    assert bpe_merge_counts(singles, k=5).count() == 0

@@ -1,0 +1,273 @@
+"""Unigram-LM quality scoring (CCNet-style) and tokenizer-training
+corpus statistics.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") buckets web documents by the perplexity
+of a language model trained on a clean TARGET domain — low-perplexity
+docs look like the target, high-perplexity docs are noise. The
+reference engine has no LM scoring (its quality signal is the cleaning
+kernel itself); this module adds the scale-pipeline analog over the
+``documents`` table.
+
+Integer-bit surprisal — the exactness trick: a float ``log p`` breaks
+the repo's oracle rule (sums of floats are order-dependent across
+partitions), so the per-token surprisal is quantized to WHOLE BITS
+with pure integer arithmetic::
+
+    bits(tok) = floor(log2(T / (c_tok + 1))) = (T // (c_tok + 1)).bit_length() - 1
+
+where ``c_tok`` is the token's occurrence count in the target corpus
+and ``T`` the target's total token count (add-one smoothing; an OOV
+token costs ``T.bit_length() - 1`` bits, the model's maximum). DuckDB
+replays it as ``length(bin(T // (c + 1))) - 1`` (verified bit-equal
+over the int64 domain), so per-doc totals and the filter decision are
+hash-checkable end to end. Whole-bit quantization is coarse as an LM
+(it can't rank two tokens whose true surprisals differ by < 1 bit) but
+monotone in frequency, which is all the head/middle/tail bucketing
+needs.
+
+Ray-Data shape (one counting pass over the SMALL target + one scoring
+scan over the FULL corpus):
+
+  1. target vocabulary — per-batch occurrence-count partials, coarse
+     md5-bucket ``groupby`` (the ``doc_frequency`` pattern: one row
+     per (token, batch) shuffles, and per-token folds run vectorized
+     inside 64 partitions, never via Ray's per-key machinery). Each
+     token lands in exactly one bucket, so partition folds are global.
+  2. a Ray task folds the counts into ONE ``token -> bits`` dict in
+     the object store (the driver never holds the vocabulary; every
+     scoring task ``ray.get``-s the same copy — broadcast, not
+     per-batch reshipping). The target domain is small by design
+     (CCNet trains on curated text), so the vocab fits one object;
+     at open-vocabulary scale shard it by token hash and bucket-join
+     (the documented ``tfidf_topk`` trade).
+  3. scoring scan — pure ``map_batches``: C-level ``findall``, one
+     vectorized dict-map per batch, per-doc ``bincount`` fold. Docs
+     with zero tokens carry no evidence and are dropped (CCNet drops
+     empties before bucketing).
+
+The BPE merge counter at the bottom is the OTHER corpus-statistics
+pass a tokenizer pipeline needs: one merge step of BPE training =
+"count every adjacent pre-token pair corpus-wide, take the argmax".
+Same combiner + coarse-bucket shape; pair counts are exact ints.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from web_scraper_ray.ops.decontam import _TOKEN_RE
+
+__all__ = ["surprisal_scores", "surprisal_filter", "bpe_merge_counts"]
+
+
+def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Per-batch token OCCURRENCE counts, coarse-bucketed for the
+    shuffle (one row per (token, batch) moves, never one per
+    occurrence)."""
+    token_lists = [_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+    flat = [tok for lst in token_lists for tok in lst]
+    if not flat:
+        return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                             "token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    cnt = pd.Series(flat, dtype="object").value_counts()
+    toks = cnt.index.to_numpy()
+    cbkt = np.fromiter(
+        (hashlib.md5(t.encode("utf-8")).digest()[0] & 63 for t in toks),
+        dtype=np.int64, count=len(toks),
+    )
+    return pd.DataFrame({"cbkt": cbkt, "token": toks,
+                         "n": cnt.to_numpy().astype("int64")})
+
+
+def _fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+    tot = g.groupby("token", sort=False)["n"].sum()
+    return pd.DataFrame({"token": tot.index.to_numpy(),
+                         "n": tot.to_numpy().astype("int64")})
+
+
+@ray.remote(num_cpus=0)
+def _fold_surprisal(*tables) -> tuple[dict, int]:
+    """Fold global (token, n) rows into a ``token -> whole-bit
+    surprisal`` dict (+ the OOV cost). Runs as a task: the driver
+    never holds the vocabulary."""
+    import pyarrow as pa
+
+    tabs = [t for t in tables if t.num_rows]
+    if not tabs:
+        raise ValueError("target corpus has no tokens")
+    t = pa.concat_tables(tabs)
+    toks = t.column("token").to_pylist()
+    ns = t.column("n").to_pylist()
+    total = int(sum(ns))
+    bits = {tok: (total // (int(n) + 1)).bit_length() - 1
+            for tok, n in zip(toks, ns)}
+    return bits, total.bit_length() - 1
+
+
+def _target_bits_ref(target: ray.data.Dataset, text_col: str):
+    folded = (
+        target.select_columns([text_col])
+        .map_batches(lambda df: _count_partials(df, text_col),
+                     batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(_fold_partition, batch_format="pandas")
+    )
+    return _fold_surprisal.remote(*folded.to_arrow_refs())
+
+
+def _doc_bits(df: pd.DataFrame, bits: dict, oov: int, id_col: str,
+              text_col: str) -> pd.DataFrame:
+    """Per-doc (id, n_tokens, total_bits, mean_bits_e2) for the docs
+    of one batch that have >= 1 token."""
+    token_lists = [_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                       count=len(token_lists))
+    flat = [tok for lst in token_lists for tok in lst]
+    # vectorized dict map; sums of <= 63-bit ints stay exact in the
+    # float64 bincount accumulator far beyond any real doc length
+    tok_bits = (pd.Series(flat, dtype="object").map(bits)
+                .fillna(oov).to_numpy(dtype="float64"))
+    idx = np.repeat(np.arange(len(df)), lens)
+    totals = np.bincount(idx, weights=tok_bits,
+                         minlength=len(df)).astype(np.int64)
+    keep = lens > 0
+    n = lens[keep]
+    total_bits = totals[keep]
+    return pd.DataFrame({
+        id_col: df[id_col].to_numpy()[keep],
+        "n_tokens": n,
+        "total_bits": total_bits,
+        "mean_bits_e2": (100 * total_bits) // n,
+    })
+
+
+def surprisal_scores(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Score every document of ``ds`` against a unigram LM of
+    ``target``: rows ``(id, n_tokens, total_bits, mean_bits_e2)`` with
+    ``total_bits`` the add-one-smoothed whole-bit surprisal sum and
+    ``mean_bits_e2 = (100 * total_bits) // n_tokens`` the fixed-point
+    per-token mean (the CCNet bucketing statistic). Zero-token docs
+    are dropped. Oracle: ``oracle_sql()['lm_surprisal']``."""
+    ref = _target_bits_ref(target, text_col)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bits, oov = ray.get(ref)
+        return _doc_bits(df, bits, oov, id_col, text_col)
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pandas"))
+
+
+def surprisal_filter(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    max_mean_bits_e2: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet "head" selection: keep the rows of ``ds`` whose mean
+    whole-bit surprisal against the ``target`` LM is at most
+    ``max_mean_bits_e2`` (fixed-point, 100 = one bit/token). Scoring
+    is fused into the filter scan, so full rows never reshuffle and
+    zero-token docs (no evidence) are dropped. Oracle:
+    ``oracle_sql()['lm_filter']``."""
+    ref = _target_bits_ref(target, text_col)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        bits, oov = ray.get(ref)
+        scored = _doc_bits(df, bits, oov, id_col, text_col)
+        ok = scored.loc[scored["mean_bits_e2"] <= max_mean_bits_e2,
+                        id_col]
+        return df.loc[df[id_col].isin(set(ok.to_numpy()))]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting — one merge step of tokenizer training
+
+
+def bpe_merge_counts(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus-wide adjacent-token-pair counts — the statistic a BPE /
+    WordPiece trainer computes every merge step ("which two adjacent
+    units co-occur most?"), here over whitespace pre-tokens. Returns
+    the top ``k`` rows ``(p1, p2, n)`` by count desc, then (p1, p2)
+    asc — a deterministic total order.
+
+    Scale shape: per-batch pair counts (C-level findall + one pandas
+    ``value_counts`` over the zipped pair frame) → coarse md5-bucket
+    ``groupby`` folds (pair cardinality is corpus-scale, so the
+    shuffle key is a 64-way bucket, not the pair), then the global
+    top-k is a sort+limit that moves only k rows per partition (each
+    pair lives in exactly one bucket, so per-partition counts are
+    already global). Oracle: ``oracle_sql()['bpe_merges']``."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        token_lists = [_TOKEN_RE.findall(t)
+                       for t in df[text_col].fillna("")]
+        p1: list[str] = []
+        p2: list[str] = []
+        for toks in token_lists:
+            if len(toks) >= 2:
+                p1.extend(toks[:-1])
+                p2.extend(toks[1:])
+        if not p1:
+            return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                                 "p1": pd.Series([], dtype="object"),
+                                 "p2": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        cnt = (pd.DataFrame({"p1": p1, "p2": p2})
+               .groupby(["p1", "p2"], sort=False).size())
+        idx = cnt.index
+        cbkt = np.fromiter(
+            (hashlib.md5(f"{a}\x00{b}".encode("utf-8")).digest()[0] & 63
+             for a, b in zip(idx.get_level_values(0),
+                             idx.get_level_values(1))),
+            dtype=np.int64, count=len(cnt),
+        )
+        return pd.DataFrame({
+            "cbkt": cbkt,
+            "p1": idx.get_level_values(0).to_numpy(),
+            "p2": idx.get_level_values(1).to_numpy(),
+            "n": cnt.to_numpy().astype("int64"),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["p1", "p2"], sort=False)["n"].sum()
+        out = pd.DataFrame({
+            "p1": tot.index.get_level_values(0).to_numpy(),
+            "p2": tot.index.get_level_values(1).to_numpy(),
+            "n": tot.to_numpy().astype("int64"),
+        })
+        # local prune: only a partition's own top-k can reach the
+        # global top-k (counts here are already global totals)
+        return (out.sort_values(["n", "p1", "p2"],
+                                ascending=[False, True, True])
+                .head(k))
+
+    ranked = (
+        ds.select_columns([text_col])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(fold, batch_format="pandas")
+        .sort(["n", "p1", "p2"], descending=[True, False, False])
+        .limit(k)
+    )
+    return ranked
