@@ -723,6 +723,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bpe_merge_counts(ds, k=20)
 
+    def q_indexed_fetch(sf_dir: str):
+        # sparse point-lookup regime (sources/hashindex.py): hash-
+        # sorted layout + row-group range index; reads only the row
+        # groups containing the wanted keys instead of scanning
+        import os as _os
+
+        from web_scraper_ray.sources.hashindex import (
+            build_hash_index, hash_lookup,
+        )
+
+        idx = build_hash_index(
+            f"{sf_dir}/documents.parquet", "doc_id",
+            f"/tmp/hidx_docs_{_os.path.basename(sf_dir.rstrip('/'))}",
+            columns=["doc_id", "lang", "source", "n_chars"],
+            rows_per_group=64,
+        )
+        keys = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(lambda df: df.loc[df["doc_id"] % 17 == 3],
+                      batch_format="pandas")
+        return hash_lookup(idx, keys, "doc_id")
+
     def q_para_dedup(sf_dir: str):
         # corpus-wide paragraph dedup: first (doc_id, position)
         # occurrence of each distinct paragraph wins; docs rebuilt
@@ -1098,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": q_lm_surprisal,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
+        "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
@@ -2537,6 +2560,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d JOIN agg USING (doc_id)
             WHERE agg.mean_bits_e2 <= 413
+        """,
+        # sparse point-lookup (sources/hashindex.py): the lookup's
+        # visible semantics are a plain key-set selection
+        "indexed_fetch": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents WHERE doc_id % 17 = 3
         """,
         # one BPE merge step (ops/lm.py): adjacent pre-token pair
         # counts, deterministic (n desc, pair asc) top-20

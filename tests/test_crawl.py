@@ -278,6 +278,66 @@ def test_bucketed_fetch_join_parity(ray_session, small_corpus, tmp_path_factory,
     assert res.seen.snapshot() == model_result[1]
 
 
+def test_indexed_fetch_join_parity(ray_session, small_corpus,
+                                   tmp_path_factory, engine_result,
+                                   model_result):
+    """fetch_join="indexed" (hash-sorted layout + row-group range
+    index; the sparse point-lookup regime) produces the identical
+    crawl to the broadcast scan mode."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+
+    idx_dir = str(tmp_path_factory.mktemp("hidx"))
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, fetch_join="indexed",
+                      index_dir=idx_dir)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_indexed"))
+    res = run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order = load_crawl_order(ckpt)
+    _, order_bc = engine_result
+    assert list(zip(order["round"], order["url"], order["vt"])) == list(
+        zip(order_bc["round"], order_bc["url"], order_bc["vt"])
+    )
+    assert res.seen.snapshot() == model_result[1]
+
+
+def test_hash_index_prunes_row_groups(ray_session, small_corpus, tmp_path):
+    """Direct contract of sources/hashindex.py: lookups return exactly
+    the matching rows and a sparse lookup touches a strict subset of
+    row groups."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from web_scraper_ray.sources.hashindex import (
+        _fold_keys, _plan_fragments, build_hash_index, hash_lookup,
+    )
+
+    idx = build_hash_index(f"{small_corpus}/pages", "url",
+                           str(tmp_path / "hidx"), columns=["url", "html"],
+                           rows_per_group=16)
+    pages = pd.concat([pd.read_parquet(f, columns=["url"])
+                       for f in glob.glob(f"{small_corpus}/pages/*.parquet")])
+    want = sorted(pages["url"])[::7]  # every 7th url, deterministic
+    got = hash_lookup(idx, want, "url", columns=["url"]).to_pandas()
+    assert sorted(got["url"]) == sorted(want)
+    # sparse 3-key lookup touches < all row groups
+    total = sum(pq.ParquetFile(f).metadata.num_row_groups
+                for f in glob.glob(f"{idx}/data/*.parquet"))
+    h, _ = _fold_keys.remote(pa.table({"url": pa.array(want[:3])}))
+    runs = ray.get(_plan_fragments.remote(idx, h))
+    assert 0 < sum(len(r["rgs"]) for r in runs) < total
+    # misses return nothing; a rebuilt index is stamp-cached
+    assert hash_lookup(idx, ["http://nosuch.example/x"], "url").count() == 0
+    assert build_hash_index(f"{small_corpus}/pages", "url",
+                            str(tmp_path / "hidx"), columns=["url", "html"],
+                            rows_per_group=16) == idx
+
+
 def test_live_fetch_mode_parity(ray_session, small_corpus, tmp_path_factory,
                                 engine_result, model_result):
     """fetch_join="live" (actor-pool fetcher, NO corpus join — the real

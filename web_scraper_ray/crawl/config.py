@@ -26,7 +26,14 @@ class CrawlConfig:
     # docstring), or "live" (NO corpus join — the admitted frontier
     # feeds an actor-pool fetcher directly; run_crawl's fetcher_cls /
     # rate_limiter choose the fetcher and bind per-host politeness)
+    # "indexed" (sparse point-lookup: hash-sorted corpus layout +
+    # row-group range index, sources/hashindex.py — reads only the
+    # row groups containing admitted urls; right for rounds that are
+    # small relative to the corpus)
     fetch_join: str = "broadcast"
+    # indexed mode: where the hash-sorted layout lives (default: a
+    # pages_hidx sibling of the pages dir; built once, stamp-cached)
+    index_dir: str | None = None
     # live mode: actor pool width and rows per fetch call
     fetch_concurrency: int = 4
     fetch_batch_size: int = 64

@@ -69,10 +69,14 @@ Scale notes (10^10 frontier, SURVEY.md §7):
   ``bucketed`` is the implemented 10^10-scale path — a partitioned
   hash join co-locating corpus and (html-less) frontier rows by
   ``url_hash64(url) % B`` in one groupby, so the admitted set never
-  resides in ANY single process. Both produce byte-identical crawls
-  (test_bucketed_fetch_join_parity). In a live deployment the corpus
-  scan is replaced by an actor-pool HTTP fetcher and no join exists at
-  all.
+  resides in ANY single process; ``indexed`` is the SPARSE regime —
+  a hash-sorted corpus layout with a row-group range index
+  (sources/hashindex.py, built once per corpus) lets a small round
+  read only the row groups containing admitted urls instead of
+  scanning the corpus. All three produce byte-identical crawls
+  (test_bucketed_fetch_join_parity, test_indexed_fetch_join_parity).
+  In a live deployment the corpus scan is replaced by an actor-pool
+  HTTP fetcher and no join exists at all.
 * Hot hosts serialize only their *ordering* (a vectorized per-host
   cumcount inside the bucket task), not their fetches; a host with k
   candidates costs O(k log k) in one task — salt ``host#chunk`` for
@@ -540,10 +544,9 @@ def _fetch_and_extract(
                                         batch_format="pyarrow", batch_size=256)
         return _write_and_slim_stage(extracted, round_no, odir)
 
-    pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
-                                  override_num_blocks=_default_blocks())
-
     if join_mode == "bucketed":
+        pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
+                                      override_num_blocks=_default_blocks())
         adm_ds = ray.data.read_parquet(adm_dir, columns=["url"] + META_COLUMNS)
         fetched = _bucketed_fetch_join(pages, adm_ds)
     else:
@@ -559,6 +562,29 @@ def _fetch_and_extract(
             for c in META_COLUMNS:
                 out[c] = meta[c]
             return pa.table(out)
+
+        if join_mode == "indexed":
+            # sparse point-lookup regime: hash-sorted corpus layout +
+            # row-group range index (built once per corpus, cached);
+            # the round reads ONLY the row groups containing admitted
+            # urls instead of scanning the corpus. Right when the
+            # round is small relative to the corpus (refetch/repair
+            # rounds, tail crawls); the scan modes stay right for
+            # dense rounds (sources/hashindex.py cost model).
+            from ..sources.hashindex import build_hash_index, hash_lookup
+
+            index_dir = config.index_dir or os.path.join(
+                os.path.dirname(pages_path.rstrip("/")) or ".",
+                "pages_hidx")
+            idx_dir = build_hash_index(pages_path, "url", index_dir,
+                                       columns=["url", "html"])
+            adm_urls = ray.data.read_parquet(adm_dir, columns=["url"])
+            pages = hash_lookup(idx_dir, adm_urls, "url",
+                                columns=["url", "html"])
+        else:
+            pages = ray.data.read_parquet(
+                pages_path, columns=["url", "html"],
+                override_num_blocks=_default_blocks())
 
         fetched = pages.map_batches(keep_admitted, batch_format="pyarrow")
     extracted = fetched.map_batches(_extract_with_meta, batch_format="pyarrow",
