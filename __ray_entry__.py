@@ -557,6 +557,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hasher="md5", exhaustive=True, concurrency=2,
         ).select_columns(["doc_id"])
 
+    def q_near_dedup_best(sf_dir: str):
+        # quality-aware winner policy under the same SQL hash check:
+        # per cluster the longest (n_chars) member survives, ties to
+        # min id (ops/dedup.py:_best_quality_losers)
+        from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"],
+        )
+        return remove_near_duplicates(
+            ds, num_perm=16, jaccard_threshold=0.5,
+            hasher="md5", exhaustive=True, concurrency=2,
+            keep="best", score_col="n_chars",
+        ).select_columns(["doc_id"])
+
     def q_embedding_dups(sf_dir: str):
         # the synthetic embeddings contain no true near-dups, so the
         # query PLANTS deterministic perturbed copies (vec_id + 10^6,
@@ -1101,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_exhaustive": q_minhash_clusters_exhaustive,
         "near_dedup_exhaustive": q_near_dedup_exhaustive,
+        "near_dedup_best": q_near_dedup_best,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_exhaustive": q_similarity_ivf_exhaustive,
         "simhash_pairs": q_simhash_pairs,
@@ -1645,6 +1662,30 @@ def _near_dedup_exhaustive_sql(num_perm: int = 16,
         WITH RECURSIVE {_minhash_component_ctes(num_perm, threshold)}
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
+    """
+
+
+def _near_dedup_best_sql(num_perm: int = 16,
+                         threshold: float = 0.5) -> str:
+    """keep='best' twin: per component the (n_chars DESC, node ASC)
+    window argmax survives instead of the min id."""
+    return f"""
+        WITH RECURSIVE {_minhash_component_ctes(num_perm, threshold)},
+        scored AS (
+            SELECT l.node, l.label, d.n_chars
+            FROM labels l JOIN documents d ON d.doc_id = l.node
+        ),
+        winners AS (
+            SELECT node FROM (
+                SELECT node, row_number() OVER (
+                    PARTITION BY label
+                    ORDER BY n_chars DESC, node) AS rn
+                FROM scored) WHERE rn = 1
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT node FROM scored
+            WHERE node NOT IN (SELECT node FROM winners))
     """
 
 
@@ -2744,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
+        "near_dedup_best": _near_dedup_best_sql(),
         "crawl_round0": _crawl_round0_sql(),
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),

@@ -295,6 +295,49 @@ def test_planted_giant_cluster_near_dedup(ray_session):
     assert kept == [0] + list(range(10_000, 10_005))
 
 
+def test_remove_near_duplicates_keep_best(ray_session):
+    """keep='best': the max-score cluster member survives (not the min
+    id); ties fall back to min id; constant scores reproduce the
+    min_id policy exactly."""
+    import ray.data
+    from web_scraper_ray.ops.dedup import remove_near_duplicates
+
+    base = ("near duplicate clusters should keep their highest quality "
+            "member when a score column is available for ranking them")
+    other = ("a completely unrelated document about volcanic geology and "
+             "hexagonal basalt column formation during slow lava cooling")
+    rows = [
+        # cluster A: ids 0-2, best quality at id 2
+        {"doc_id": 0, "text": base, "q": 1.0},
+        {"doc_id": 1, "text": base + " x", "q": 2.0},
+        {"doc_id": 2, "text": base + " y", "q": 9.0},
+        # cluster B: ids 3-4, tied scores -> min id 3 wins
+        {"doc_id": 3, "text": other, "q": 5.0},
+        {"doc_id": 4, "text": other + " z", "q": 5.0},
+        # singleton: always kept
+        {"doc_id": 5, "text": "sourdough fermentation depends on patient "
+                              "lactobacillus cultures and careful hydration",
+         "q": 0.0},
+    ]
+    ds = ray.data.from_items(rows)
+    best = sorted(remove_near_duplicates(
+        ds, keep="best", score_col="q", concurrency=1).to_pandas()["doc_id"])
+    assert best == [2, 3, 5]
+    # constant scores degenerate to the min_id policy
+    const = ds.map_batches(lambda df: df.assign(q=1.0),
+                           batch_format="pandas")
+    a = sorted(remove_near_duplicates(
+        const, keep="best", score_col="q", concurrency=1
+    ).to_pandas()["doc_id"])
+    b = sorted(remove_near_duplicates(
+        ds, concurrency=1).to_pandas()["doc_id"])
+    assert a == b
+    with pytest.raises(ValueError):
+        remove_near_duplicates(ds, keep="best")
+    with pytest.raises(ValueError):
+        remove_near_duplicates(ds, keep="nope")
+
+
 def test_subtract_ids_modes_agree(ray_session):
     """The broadcast (object-store id array) and bucketed (anti-join
     groupby — the 100-TB path where no process holds the drop set)

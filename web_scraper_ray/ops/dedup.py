@@ -1026,32 +1026,114 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def _best_quality_losers(
+    ds: ray.data.Dataset,
+    comp: ray.data.Dataset,
+    id_col: str,
+    score_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Quality-aware drop set: per component, every member EXCEPT the
+    (max ``score_col``, then min id) winner. Two slim bucketed
+    shuffles, neither moving document text:
+
+      1. attach scores — (node, label) rows and (id, score) rows
+         co-locate by ``id % B`` (the subtract_ids/fetch-join pattern);
+         the score side is the 2-column corpus slice, the comp side
+         only clustered nodes. A member whose score row is missing
+         competes as -inf (it can still win an all-missing cluster via
+         the min-id tiebreak).
+      2. per-component argmax — regroup by ``label % B``; inside each
+         partition one vectorized sort (label, score desc, node) +
+         drop-first marks the losers.
+    """
+
+    def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bkt": df["node"].to_numpy() % n_buckets,
+            "node": df["node"].astype("int64"),
+            "label": df["label"].astype("int64"),
+            "score": np.full(len(df), np.nan),
+            "side": "c",
+        })
+
+    def tag_scores(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bkt": ids % n_buckets,
+            "node": ids,
+            "label": np.zeros(len(df), dtype=np.int64),
+            "score": df[score_col].to_numpy(dtype=np.float64),
+            "side": "s",
+        })
+
+    both = comp.map_batches(tag_comp, batch_format="pandas").union(
+        ds.select_columns([id_col, score_col])
+        .map_batches(tag_scores, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == "c", ["node", "label"]]
+        if not len(c):
+            return pd.DataFrame({"lbkt": pd.Series([], dtype="int64"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        s = g.loc[g["side"] == "s", ["node", "score"]]
+        m = c.merge(s, on="node", how="left")
+        m["score"] = m["score"].fillna(-np.inf)
+        m["lbkt"] = m["label"].to_numpy() % n_buckets
+        return m[["lbkt", "node", "label", "score"]]
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "score", "node"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.loc[g["label"].duplicated(), ["node"]]
+
+    return (both.groupby("bkt").map_groups(attach, batch_format="pandas")
+            .groupby("lbkt").map_groups(losers, batch_format="pandas"))
+
+
 def remove_near_duplicates(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    keep: str = "min_id",
+    score_col: str | None = None,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """The composite training-data op: MinHash-LSH pairs → DISTRIBUTED
     min-label components (:func:`components_min_label` — no driver
     union-find, no ``to_pandas`` of the pair set) → keep only each
-    cluster's representative (min id) plus all unclustered docs. The
-    drop set (cluster members minus reps) stays a Dataset end to end
-    and is removed via :func:`subtract_ids`: object-store broadcast
-    while it is small, bucketed anti-join once it is corpus-sized
-    (web-scale near-dup rates are 30-50%, so at 100 TB the drop set is
-    O(corpus) ids — no process may hold it)."""
+    cluster's representative plus all unclustered docs. The drop set
+    (cluster members minus reps) stays a Dataset end to end and is
+    removed via :func:`subtract_ids`: object-store broadcast while it
+    is small, bucketed anti-join once it is corpus-sized (web-scale
+    near-dup rates are 30-50%, so at 100 TB the drop set is O(corpus)
+    ids — no process may hold it).
+
+    Winner policy (``keep``): ``"min_id"`` (default — deterministic,
+    zero extra shuffles) or ``"best"`` — per cluster the max
+    ``score_col`` member wins, ties to min id (the "keep the longest /
+    highest-quality copy" policy; costs the two slim bucketed shuffles
+    of :func:`_best_quality_losers`)."""
     subtract_mode = minhash_kwargs.pop("subtract_mode", "auto")
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if keep == "best" and not score_col:
+        raise ValueError("keep='best' requires score_col")
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
                               jaccard_threshold=jaccard_threshold,
                               **minhash_kwargs)
     comp = components_min_label(pairs)
 
-    def non_reps(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["node"] != df["label"], ["node"]]
+    if keep == "best":
+        drop = _best_quality_losers(ds, comp, id_col, score_col)
+    else:
+        def non_reps(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["node"] != df["label"], ["node"]]
 
-    drop = comp.map_batches(non_reps, batch_format="pandas")
+        drop = comp.map_batches(non_reps, batch_format="pandas")
     return subtract_ids(ds, drop, id_col=id_col, drop_col="node",
                         mode=subtract_mode)
 
