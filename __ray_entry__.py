@@ -959,6 +959,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_sequences(ds.map_batches(ntok, batch_format="pandas"),
                               seqlen=512, weight_col="n_tok", seed=17)
 
+    def q_token_budget_head(sf_dir: str):
+        # "first 15k tokens of the shuffled corpus" — the token-budget
+        # truncation of a training mix (ops/shuffle.py); same weights
+        # and order as pack_sequences
+        import pandas as pd
+
+        from web_scraper_ray.ops.shuffle import token_budget_head
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def ntok(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tok": (df["text"].fillna("").str.len() // 4 + 1
+                          ).astype("int64"),
+            })
+
+        return token_budget_head(
+            ds.map_batches(ntok, batch_format="pandas"),
+            budget_tokens=15_000, weight_col="n_tok", seed=17)
+
+    def q_rebalance_mix(sf_dir: str):
+        # measured-counts domain rebalancing (DoReMi-lite,
+        # ops/sampling.py:rebalance_sample): every source downsampled
+        # toward a uniform share with exact-integer thresholds
+        from web_scraper_ray.ops.sampling import rebalance_sample
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        # dyadic shares (exactly representable): single-digit
+        # sources target 1/16 each (kept whole — above their uniform
+        # 1/20), double-digit sources 1/32 (downsampled ~62.5%)
+        shares = {f"src{i}": (1 / 16 if i < 10 else 1 / 32)
+                  for i in range(20)}
+        return rebalance_sample(ds, key_col="doc_id",
+                                group_col="source",
+                                target_shares=shares, seed=17)
+
     def q_c4_line_filter(sf_dir: str):
         # C4-style line filtering (ops/lines.py) — the corpus text has
         # no newlines, so the query plants deterministic line structure
@@ -1158,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
+        "token_budget_head": q_token_budget_head,
+        "rebalance_mix": q_rebalance_mix,
         "media_features": q_media_features,
     }
 
@@ -2834,6 +2877,51 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0) % 512
                         AS BIGINT) AS seq_off
             FROM keyed
+        """,
+        # token-budget truncation (ops/shuffle.py): the same
+        # window as pack_sequences with the budget predicate
+        "token_budget_head": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       length(COALESCE(text, '')) // 4 + 1 AS w,
+                       ('0x' || substr(md5('17:' || doc_id), 1, 16))
+                           ::UBIGINT AS k
+                FROM documents
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY k, doc_id) - 1
+                            AS BIGINT) AS rank,
+                       CAST(COALESCE(SUM(w) OVER (
+                                ORDER BY k, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_start
+                FROM keyed
+            )
+            SELECT doc_id, rank, tok_start FROM packed
+            WHERE tok_start < 15000
+        """,
+        # measured-counts rebalancing (ops/sampling.py): thresholds
+        # floor(share_num * N * 2^64 / (share_den * c)) in exact
+        # HUGEINT arithmetic; dyadic shares 1/16 (src0-9) and 1/32
+        "rebalance_mix": """
+            WITH cnt AS (
+                SELECT source, count(*)::HUGEINT AS c
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(c) AS n FROM cnt),
+            thr AS (
+                SELECT source,
+                       (n * 18446744073709551616::HUGEINT)
+                       // ((CASE WHEN length(source) = 4
+                                 THEN 16 ELSE 32 END) * c) AS t
+                FROM cnt, tot
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE ('0x' || substr(md5('17:' || d.doc_id), 1, 16))
+                      ::UBIGINT < thr.t
         """,
         "file_names": _file_names_sql(),
         "quality_filter": f"""

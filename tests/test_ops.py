@@ -1327,3 +1327,55 @@ def test_graph_lines_pack_degenerate_inputs(ray_session):
         seqlen=4, weight_col="w").to_pandas()
     assert list(packed[["rank", "tok_start", "seq_id", "seq_off"]]
                 .iloc[0]) == [0, 0, 0, 0]
+
+
+def test_token_budget_head_boundary(ray_session):
+    """The straddling doc is included; budget 0 drops everything;
+    budget >= total keeps everything; output matches a sequential
+    prefix-sum model."""
+    import ray.data
+    from web_scraper_ray.ops.sampling import _key_hash
+    from web_scraper_ray.ops.shuffle import token_budget_head
+
+    rows = [{"doc_id": i, "n_tok": 10 + i} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    df = pd.DataFrame(rows)
+    order = df.assign(k=_key_hash(df["doc_id"], 17)).sort_values(
+        ["k", "doc_id"]).reset_index(drop=True)
+    starts = order["n_tok"].cumsum().shift(fill_value=0)
+    budget = int(starts.iloc[5]) + 1  # lands inside doc at rank 5
+    got = (token_budget_head(ds, budget, "n_tok").to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(order["doc_id"].iloc[:6])
+    assert list(got["tok_start"]) == list(starts.iloc[:6])
+    assert token_budget_head(ds, 0, "n_tok").count() == 0
+    total = int(df["n_tok"].sum())
+    assert token_budget_head(ds, total, "n_tok").count() == 40
+
+
+def test_rebalance_sample_shares(ray_session):
+    """Measured-counts rebalancing: an overrepresented group is
+    downsampled toward its target share, at-or-below-target groups
+    keep every row, and groups absent from an explicit share dict are
+    dropped."""
+    import ray.data
+    from web_scraper_ray.ops.sampling import rebalance_sample
+
+    rows = ([{"doc_id": i, "grp": "hot"} for i in range(800)]
+            + [{"doc_id": 1000 + i, "grp": "cold"} for i in range(100)])
+    ds = ray.data.from_items(rows)
+    out = rebalance_sample(ds, "doc_id", "grp",
+                           target_shares="uniform").to_pandas()
+    by = out.groupby("grp").size()
+    assert by["cold"] == 100  # below uniform share: untouched
+    # hot's threshold = 900 * 2^64 / (2 * 800) -> keep ~56%
+    assert 0.45 * 800 < by["hot"] < 0.68 * 800
+    # explicit dyadic shares; unlisted group dropped entirely
+    out2 = rebalance_sample(ds, "doc_id", "grp",
+                            target_shares={"cold": 0.5}).to_pandas()
+    assert set(out2["grp"]) == {"cold"} and len(out2) == 100
+    # deterministic: same inputs -> identical survivor sets
+    a = sorted(rebalance_sample(ds, "doc_id", "grp",
+                                target_shares="uniform")
+               .to_pandas()["doc_id"])
+    assert a == sorted(out["doc_id"])

@@ -188,3 +188,82 @@ def cap_per_group(
 
     return (ds.map_batches(add_bkt, batch_format="pandas")
             .groupby("__bkt").map_groups(cap, batch_format="pandas"))
+
+
+def rebalance_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    target_shares: dict[str, float] | str = "uniform",
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Domain rebalancing driven by MEASURED counts (the DoReMi-lite
+    mix step): downsample each group toward its target share of the
+    corpus. Group ``g`` with ``c_g`` rows out of ``N`` total gets the
+    keep-threshold
+
+        t_g = floor(share_num * N * 2^64 / (share_den * c_g))
+
+    and a row survives iff ``md5(seed:key) < t_g`` — the same hash gate
+    as :func:`hash_sample`, but with the rate computed FROM the data.
+    Groups already at or below target (t_g >= 2^64) keep every row.
+    All threshold arithmetic is exact integer (Python bigints here,
+    HUGEINT in the SQL twin), so the survivor set is hash-checkable
+    and, like every op in this module, parallelism/resume-stable.
+
+    Two passes, no corpus shuffle: a (group, n) combiner count pass
+    folds into one threshold dict in a Ray task (broadcast via the
+    object store — group cardinality is #domains, a small side), then
+    a pure filter scan. ``target_shares``: ``"uniform"`` (1/#groups
+    each) or a ``{group: share}`` dict of rational-friendly floats
+    (shares are converted with ``float.as_integer_ratio`` — exact)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(group_col, sort=False).size()
+        return pd.DataFrame({group_col: cnt.index.to_numpy(),
+                             "n": cnt.to_numpy().astype("int64")})
+
+    counts = (ds.select_columns([group_col])
+              .map_batches(partials, batch_format="pandas")
+              .groupby(group_col).aggregate(Sum("n", alias_name="n")))
+
+    @ray.remote(num_cpus=0)
+    def fold_thresholds(*tables) -> dict:
+        cnt: dict = {}
+        for t in tables:
+            if not t.num_rows:
+                continue
+            for g, n in zip(t.column(group_col).to_pylist(),
+                            t.column("n").to_pylist()):
+                cnt[g] = cnt.get(g, 0) + int(n)
+        total = sum(cnt.values())
+        thr = {}
+        for g, c in cnt.items():
+            if target_shares == "uniform":
+                num, den = 1, len(cnt)
+            else:
+                num, den = float(
+                    target_shares.get(g, 0.0)).as_integer_ratio()
+            thr[g] = (num * total * (1 << 64)) // (den * c) if c else 0
+        return thr
+
+    ref = fold_thresholds.remote(*counts.to_arrow_refs())
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(ref)
+        h = _key_hash(df[key_col], seed)
+        # per distinct group (a handful per batch), exact int compare;
+        # t >= 2^64 keeps everything without a clamped boundary
+        mask = np.zeros(len(df), dtype=bool)
+        for g in pd.unique(df[group_col]):
+            tg = thr.get(g, 0)
+            sel = (df[group_col] == g).to_numpy()
+            if tg >= (1 << 64):
+                mask |= sel
+            elif tg > 0:
+                mask |= sel & (h < np.uint64(tg))
+        return df.loc[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")

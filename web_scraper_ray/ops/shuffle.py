@@ -193,3 +193,31 @@ def _bucket_offsets2(n_buckets: int, *tables) -> tuple[np.ndarray, np.ndarray]:
             weights[b] += t.column("w").to_numpy(zero_copy_only=False)
     excl = lambda a: np.concatenate(([0], np.cumsum(a)[:-1]))  # noqa: E731
     return excl(counts), excl(weights)
+
+
+def token_budget_head(
+    ds: ray.data.Dataset,
+    budget_tokens: int,
+    weight_col: str,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    bucket_bits: int = _BUCKET_BITS,
+) -> ray.data.Dataset:
+    """The first ``budget_tokens`` of the shuffled virtual token
+    stream — "train on the first N tokens of the shuffled corpus":
+    every document whose global token offset (:func:`pack_sequences`'s
+    ``tok_start``) is below the budget. A document straddling the
+    boundary is INCLUDED (its first tokens are inside the budget — the
+    GPT-pack convention). Emits ``(id, rank, tok_start)``; pure filter
+    over the weighted-prefix-sum pass, so it inherits pack_sequences'
+    no-global-enumeration scale shape. Oracle:
+    ``oracle_sql()['token_budget_head']``."""
+    packed = pack_sequences(ds, seqlen=1, weight_col=weight_col,
+                            seed=seed, id_col=id_col,
+                            bucket_bits=bucket_bits)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["tok_start"] < budget_tokens,
+                      [id_col, "rank", "tok_start"]]
+
+    return packed.map_batches(head, batch_format="pandas")
