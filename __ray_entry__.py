@@ -729,6 +729,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kept.select_columns(["doc_id", "lang", "source",
                                     "n_chars"])
 
+    def q_lm_buckets(sf_dir: str):
+        # CCNet head/middle/tail trisection at the exact 33/67
+        # surprisal percentiles (ops/lm.py:surprisal_buckets)
+        from web_scraper_ray.ops.lm import surprisal_buckets
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return surprisal_buckets(ds, _lm_target(sf_dir))
+
     def q_bpe_merges(sf_dir: str):
         # one BPE-training merge step: corpus-wide adjacent pre-token
         # pair counts, global top-20 (ops/lm.py)
@@ -1178,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": q_lm_surprisal,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
+        "lm_buckets": q_lm_buckets,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2633,6 +2644,30 @@ def oracle_sql() -> dict[str, str]:
                    (100 * sum(bits)::BIGINT) // count(*)::BIGINT
                        AS mean_bits_e2
             FROM b GROUP BY doc_id
+        """,
+        # CCNet trisection: the same surprisal aggregate cut at the
+        # exact 33/67 percentiles (the repo's integer quantile rule)
+        "lm_buckets": _LM_SURPRISAL_SQL + """
+            , agg AS (
+                SELECT doc_id,
+                       (100 * sum(bits)::BIGINT) // count(*)::BIGINT
+                           AS mean_bits_e2
+                FROM b GROUP BY doc_id
+            ),
+            vc AS (SELECT mean_bits_e2 AS v, count(*)::BIGINT AS c
+                   FROM agg GROUP BY mean_bits_e2),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM vc),
+            nn AS (SELECT count(*)::BIGINT AS n FROM agg),
+            cuts AS (SELECT
+                (SELECT MIN(v) FROM cum, nn
+                 WHERE cc >= (33 * nn.n + 99) // 100) AS c1,
+                (SELECT MIN(v) FROM cum, nn
+                 WHERE cc >= (67 * nn.n + 99) // 100) AS c2)
+            SELECT doc_id, mean_bits_e2,
+                   CASE WHEN mean_bits_e2 <= c1 THEN 'head'
+                        WHEN mean_bits_e2 <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM agg, cuts
         """,
         "lm_filter": _LM_SURPRISAL_SQL + """
             , agg AS (

@@ -113,3 +113,36 @@ def test_lm_degenerate_inputs(ray_session):
     singles = ray.data.from_items(
         [{"doc_id": 0, "text": "one"}, {"doc_id": 1, "text": "two"}])
     assert bpe_merge_counts(singles, k=5).count() == 0
+
+
+def test_surprisal_buckets_trisection(ray_session):
+    """head/middle/tail labels follow the exact 33/67 percentile cuts
+    of the scored distribution; all three buckets are populated on a
+    spread-out corpus and labels agree with a sequential replay."""
+    import ray.data
+    from web_scraper_ray.ops.lm import surprisal_buckets, surprisal_scores
+
+    target = ray.data.from_items(
+        [{"text": "the cat sat on the mat and the dog sat on the log"}])
+    docs = [{"doc_id": i,
+             "text": " ".join((["the", "cat", "sat"] * (6 - i)
+                               + [f"rare{j}" for j in range(i)]))}
+            for i in range(6)]
+    ds = ray.data.from_items(docs)
+    got = (surprisal_buckets(ds, target).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    scores = (surprisal_scores(ds, target).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    m = scores["mean_bits_e2"].to_numpy()
+    n = len(m)
+    sm = sorted(m)
+    # replicate the integer quantile rule: first value whose cumcount
+    # reaches ceil(q * n / 100)
+    import numpy as np
+    cum = np.arange(1, n + 1)
+    c1 = sm[int(np.searchsorted(cum, (33 * n + 99) // 100))]
+    c2 = sm[int(np.searchsorted(cum, (67 * n + 99) // 100))]
+    want = ["head" if v <= c1 else ("middle" if v <= c2 else "tail")
+            for v in m]
+    assert list(got["bucket"]) == want
+    assert set(got["bucket"]) == {"head", "middle", "tail"}

@@ -64,7 +64,8 @@ import ray.data
 
 from web_scraper_ray.ops.decontam import _TOKEN_RE
 
-__all__ = ["surprisal_scores", "surprisal_filter", "bpe_merge_counts"]
+__all__ = ["surprisal_scores", "surprisal_filter", "surprisal_buckets",
+           "bpe_merge_counts"]
 
 
 def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -271,3 +272,40 @@ def bpe_merge_counts(
         .limit(k)
     )
     return ranked
+
+
+def surprisal_buckets(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cut_pcts: tuple = (33, 67),
+) -> ray.data.Dataset:
+    """CCNet's head/middle/tail trisection: score every document
+    against the ``target`` unigram LM (:func:`surprisal_scores`), cut
+    the ``mean_bits_e2`` distribution at the exact ``cut_pcts``
+    percentiles (the repo's integer quantile rule, ``ops/stats.py``),
+    and label rows ``head`` (lowest surprisal — most target-like),
+    ``middle``, ``tail``. Emits ``(id, mean_bits_e2, bucket)``.
+
+    Shape: the scored table is pinned once (consumed by the histogram
+    pass AND the labeling scan); the cuts are a 2-row object-store
+    frame broadcast into the label scan — no extra shuffle beyond the
+    quantile histogram's coarse-bucket fold. Oracle:
+    ``oracle_sql()['lm_buckets']``."""
+    from web_scraper_ray.ops.stats import quantiles_ref
+
+    scored = surprisal_scores(ds, target, id_col=id_col,
+                              text_col=text_col).materialize()
+    cuts_ref = quantiles_ref(scored, "mean_bits_e2", cut_pcts)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        cuts = ray.get(cuts_ref)["value"].to_numpy()
+        m = df["mean_bits_e2"].to_numpy()
+        bucket = np.where(m <= cuts[0], "head",
+                          np.where(m <= cuts[1], "middle", "tail"))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "mean_bits_e2": m,
+                             "bucket": bucket})
+
+    return scored.map_batches(label, batch_format="pandas")

@@ -49,15 +49,15 @@ def _quantiles_from_counts(q_pcts: tuple, *tables) -> pd.DataFrame:
                          "value": v[idx].astype(np.int64)})
 
 
-def exact_quantiles(
+def quantiles_ref(
     ds: ray.data.Dataset,
     col: str,
     q_pcts: tuple = (25, 50, 75, 90, 99),
-) -> pd.DataFrame:
-    """Exact percentiles of an integer column: returns the small
-    (q_pct, value) frame (k rows — the only thing the driver ever
-    holds; the histogram itself lives in tasks and the object
-    store)."""
+):
+    """Exact percentiles of an integer column as an OBJECT-STORE ref
+    to the small (q_pct, value) frame — broadcast-ready for scans that
+    label rows against the cuts (the histogram itself lives in tasks
+    and the object store)."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
         return pd.DataFrame({"cbkt": np.mod(vals, 64),
@@ -76,8 +76,19 @@ def exact_quantiles(
               .map_batches(partial, batch_format="pandas")
               .groupby("cbkt")
               .map_groups(fold_partition, batch_format="pandas"))
-    return ray.get(_quantiles_from_counts.remote(tuple(q_pcts),
-                                                 *counts.to_arrow_refs()))
+    return _quantiles_from_counts.remote(tuple(q_pcts),
+                                         *counts.to_arrow_refs())
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    q_pcts: tuple = (25, 50, 75, 90, 99),
+) -> pd.DataFrame:
+    """Exact percentiles of an integer column: returns the small
+    (q_pct, value) frame (k rows — the only thing the driver ever
+    holds)."""
+    return ray.get(quantiles_ref(ds, col, q_pcts))
 
 
 def grouped_quantiles(
