@@ -729,6 +729,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kept.select_columns(["doc_id", "lang", "source",
                                     "n_chars"])
 
+    def q_approx_distinct_events(sf_dir: str):
+        # HyperLogLog distinct-count sketch (ops/sketch.py): constant
+        # 1024-register state at any scale; the estimator (raw HLL or
+        # the linear-counting branch) replays bit-exactly in SQL
+        from web_scraper_ray.ops.sketch import approx_distinct
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"]
+        )
+        return approx_distinct(ds, "event_id")
+
     def q_lm_buckets(sf_dir: str):
         # CCNet head/middle/tail trisection at the exact 33/67
         # surprisal percentiles (ops/lm.py:surprisal_buckets)
@@ -1189,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
+        "approx_distinct_events": q_approx_distinct_events,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2644,6 +2656,52 @@ def oracle_sql() -> dict[str, str]:
                    (100 * sum(bits)::BIGINT) // count(*)::BIGINT
                        AS mean_bits_e2
             FROM b GROUP BY doc_id
+        """,
+        # HyperLogLog sketch (ops/sketch.py): md5-upper-half hash,
+        # 10-bit register index, integer rank/harmonic arithmetic,
+        # pinned ALPHA_E6; linear-counting branch = one IEEE division
+        # + libm ln + exact 2^10 scale + floor (the bm25 discipline)
+        "approx_distinct_events": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM events
+            ),
+            reg AS (
+                SELECT CAST(h >> 54 AS BIGINT) AS idx,
+                       MAX(CASE WHEN (h & 18014398509481983::UBIGINT)
+                                     = 0 THEN 55
+                                ELSE 55 - length(bin(
+                                    (h & 18014398509481983::UBIGINT)
+                                        ::BIGINT))
+                           END) AS r
+                FROM h GROUP BY idx
+            ),
+            agg AS (
+                SELECT count(*)::BIGINT AS nnz,
+                       sum(18446744073709551616::HUGEINT
+                           // (1::UBIGINT << r)) AS s_live
+                FROM reg
+            ),
+            est0 AS (
+                SELECT nnz,
+                       (720541::HUGEINT * 1024 * 1024
+                        * 18446744073709551616::HUGEINT)
+                       // (1000000::HUGEINT
+                           * (s_live
+                              + (1024 - nnz)::HUGEINT
+                                * 18446744073709551616::HUGEINT))
+                           AS raw
+                FROM agg
+            )
+            SELECT CASE WHEN raw <= 2560 AND nnz < 1024
+                        THEN CAST(floor(1024.0 * ln(
+                                 1024.0 / CAST(1024 - nnz AS DOUBLE)))
+                             AS BIGINT)
+                        ELSE CAST(raw AS BIGINT)
+                   END AS n_distinct_est,
+                   nnz AS n_registers_hit
+            FROM est0
         """,
         # CCNet trisection: the same surprisal aggregate cut at the
         # exact 33/67 percentiles (the repo's integer quantile rule)

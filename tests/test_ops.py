@@ -1379,3 +1379,29 @@ def test_rebalance_sample_shares(ray_session):
                                 target_shares="uniform")
                .to_pandas()["doc_id"])
     assert a == sorted(out["doc_id"])
+
+
+def test_approx_distinct_accuracy_and_edges(ray_session):
+    """HLL estimate lands within the sketch's error envelope on both
+    estimator branches (linear counting and raw), and an empty stream
+    estimates exactly zero."""
+    import ray.data
+    from web_scraper_ray.ops.sketch import approx_distinct
+
+    # linear-counting branch: 300 distinct of 1024 registers
+    ds = ray.data.from_items([{"k": i % 300} for i in range(3000)])
+    est = approx_distinct(ds, "k").to_pandas().loc[0, "n_distinct_est"]
+    assert abs(est - 300) <= 300 * 0.15
+    # raw branch: 20k distinct (registers saturate)
+    big = ray.data.range(20_000).map_batches(
+        lambda df: df.rename(columns={"id": "k"}), batch_format="pandas")
+    est2 = approx_distinct(big, "k").to_pandas().loc[0, "n_distinct_est"]
+    assert abs(est2 - 20_000) <= 20_000 * 0.15
+    # duplicates don't move the estimate: same distincts, 10x rows
+    dup = ray.data.from_items([{"k": i % 300} for i in range(30_000)])
+    est3 = approx_distinct(dup, "k").to_pandas().loc[0, "n_distinct_est"]
+    assert est3 == est
+    # empty stream -> exactly 0
+    empty = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
+    assert approx_distinct(empty, "k").to_pandas().loc[0,
+                                                       "n_distinct_est"] == 0

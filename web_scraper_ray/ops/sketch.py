@@ -1,0 +1,131 @@
+"""Cardinality sketches — HyperLogLog approximate distinct counting
+(Flajolet et al. 2007), the profiling pass of a 100-TB corpus ("how
+many distinct urls / users / shingles?") where an exact
+COUNT(DISTINCT) is an all-to-all over every distinct value but the
+sketch is a CONSTANT 2^p registers per stream.
+
+Determinism discipline (the repo's oracle rule): the hash is the
+md5-upper-half uint64 (the sampling-family convention — DuckDB
+replays every bit), register ranks are pure integer bit arithmetic,
+and the raw estimator is computed with EXACT integers::
+
+    S'  = sum over the m registers of 2^(64 - M[j])      (HUGEINT)
+    est = ALPHA_E6 * m^2 * 2^64 // (10^6 * S')
+
+with ``ALPHA_E6`` the standard alpha_1024 pinned to a fixed-point
+constant. The small-range (linear counting) branch needs one log —
+computed as ONE correctly-rounded IEEE division + libm ``log`` + an
+exact power-of-two scale + ``floor``, the bm25 float discipline
+(``ops/retrieval.py``), so even the corrected estimate replays
+bit-for-bit in DuckDB (``oracle_sql()['approx_distinct_events']``).
+The large-range correction (est > 2^64/30) is irrelevant below ~10^18
+distincts and deliberately omitted.
+
+Ray-Data shape: per-batch register partials — at most m (idx, rank)
+rows per batch regardless of batch size (the combiner) — shuffle on a
+coarse 64-way bucket of the register index (never a groupby on the
+raw index: the per-key machinery costs more than the fold), elementwise
+max inside each partition, and one final estimator task over <= m rows.
+Merging sketches of different corpora = the same elementwise max, so
+the op composes for incremental profiling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+__all__ = ["approx_distinct", "HLL_P", "HLL_M", "ALPHA_E6"]
+
+HLL_P = 10                 #: register-index bits
+HLL_M = 1 << HLL_P         #: 1024 registers (~3.25% typical error)
+#: floor(1e6 * 0.7213 / (1 + 1.079/1024)) — standard alpha_m, pinned
+ALPHA_E6 = 720541
+_REST_BITS = 64 - HLL_P
+_REST_MASK = (1 << _REST_BITS) - 1
+
+
+def _hash64(vals) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+         for v in vals),
+        dtype=np.uint64, count=len(vals),
+    )
+
+
+def _partials(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Per-batch register maxima: <= m rows out, whatever comes in."""
+    if not len(df):
+        return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                             "idx": pd.Series([], dtype="int64"),
+                             "r": pd.Series([], dtype="int64")})
+    h = _hash64(df[col])
+    idx = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+    rest = (h & np.uint64(_REST_MASK)).astype(np.int64)
+    # rank = leading-zero count of the low 54 bits + 1
+    #      = 55 - bit_length(rest); rest == 0 -> 55.
+    # bit_length via np.frexp's exponent: EXACT for any integer that
+    # float64 represents exactly (< 2^53; np.log2 is NOT — it rounds
+    # up to k for values just under 2^k). The >= 2^53 tail (where the
+    # int->float conversion itself rounds) falls back to Python ints.
+    blen = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+    hi = rest >= (1 << 53)
+    if hi.any():
+        blen[hi] = np.fromiter((int(v).bit_length()
+                                for v in rest[hi]), dtype=np.int64)
+    r = (_REST_BITS + 1) - blen
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, r)
+    live = np.nonzero(regs)[0]
+    return pd.DataFrame({"cbkt": live % 64,
+                         "idx": live,
+                         "r": regs[live]})
+
+
+def _fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    tot = g.groupby("idx", sort=False)["r"].max()
+    return pd.DataFrame({"idx": tot.index.to_numpy(),
+                         "r": tot.to_numpy().astype("int64")})
+
+
+@ray.remote(num_cpus=0)
+def _estimate(*tables) -> pd.DataFrame:
+    import pyarrow as pa
+
+    live = [t for t in tables if t.num_rows]
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    if live:
+        t = pa.concat_tables(live)
+        np.maximum.at(regs, t.column("idx").to_numpy(),
+                      t.column("r").to_numpy())
+    nnz = int((regs > 0).sum())
+    zeros = HLL_M - nnz
+    # exact integer harmonic sum: S' = sum 2^(64 - M[j])
+    s_prime = sum((1 << (64 - int(r))) for r in regs)
+    est = (ALPHA_E6 * HLL_M * HLL_M * (1 << 64)) // (1_000_000 * s_prime)
+    if est <= (5 * HLL_M) // 2 and zeros > 0:
+        # linear counting: one IEEE division + libm log (bit-identical
+        # to DuckDB ln) + exact power-of-two scale + floor
+        est = int(math.floor(HLL_M * math.log(HLL_M / zeros)))
+    return pd.DataFrame({"n_distinct_est": pd.Series([est], dtype="int64"),
+                         "n_registers_hit": pd.Series([nnz],
+                                                      dtype="int64")})
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """HyperLogLog estimate of ``count(distinct col)``: one row
+    ``(n_distinct_est, n_registers_hit)``. Constant state (1024
+    registers) at any corpus size; typical error ~3.25%."""
+    folded = (ds.select_columns([col])
+              .map_batches(lambda df: _partials(df, col),
+                           batch_format="pandas")
+              .groupby("cbkt")
+              .map_groups(_fold_bucket, batch_format="pandas"))
+    ref = _estimate.remote(*folded.to_arrow_refs())
+    return ray.data.from_pandas_refs([ref])
