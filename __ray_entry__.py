@@ -740,6 +740,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ds, "event_id")
 
+    def q_cms_token_counts(sf_dir: str):
+        # Count-Min frequency point estimates for probe tokens over
+        # the exploded token stream (ops/sketch.py); one-sided
+        # guarantee est >= true, constant d x w state
+        import pandas as pd
+
+        from web_scraper_ray.ops.sketch import cms_point_estimates
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            from web_scraper_ray.ops.decontam import _TOKEN_RE
+
+            toks = [t for s in df["text"].fillna("")
+                    for t in _TOKEN_RE.findall(s)]
+            return pd.DataFrame({"v": pd.Series(toks, dtype="object")})
+
+        stream = ds.map_batches(explode, batch_format="pandas")
+        return cms_point_estimates(
+            stream, "v",
+            probes=("scan", "window", "agg", "zz_absent"))
+
     def q_lm_buckets(sf_dir: str):
         # CCNet head/middle/tail trisection at the exact 33/67
         # surprisal percentiles (ops/lm.py:surprisal_buckets)
@@ -1002,6 +1026,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(ntok, batch_format="pandas"),
             budget_tokens=15_000, weight_col="n_tok", seed=17)
 
+    def q_bottom_k_docs(sf_dir: str):
+        # exact-size deterministic uniform sample (bottom-k / KMV):
+        # the 50 smallest md5(seed:doc_id) rows (ops/sampling.py)
+        from web_scraper_ray.ops.sampling import bottom_k_sample
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        return bottom_k_sample(ds, "doc_id", k=50, seed=17)
+
     def q_rebalance_mix(sf_dir: str):
         # measured-counts domain rebalancing (DoReMi-lite,
         # ops/sampling.py:rebalance_sample): every source downsampled
@@ -1201,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
+        "cms_token_counts": q_cms_token_counts,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1224,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "token_budget_head": q_token_budget_head,
         "rebalance_mix": q_rebalance_mix,
+        "bottom_k_docs": q_bottom_k_docs,
         "media_features": q_media_features,
     }
 
@@ -2703,6 +2740,36 @@ def oracle_sql() -> dict[str, str]:
                    nnz AS n_registers_hit
             FROM est0
         """,
+        # Count-Min sketch replay (ops/sketch.py): per-row md5
+        # positions, exact counter sums, min over rows per probe
+        "cms_token_counts": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ 	
+]+')) AS v
+                FROM documents
+            ),
+            rows_j(j) AS (VALUES (0), (1), (2), (3)),
+            cnt AS (
+                SELECT j,
+                       ('0x' || substr(md5(j || ':' || v), 1, 16))
+                           ::UBIGINT % 2048 AS pos,
+                       count(*)::BIGINT AS n
+                FROM tok CROSS JOIN rows_j GROUP BY j, pos
+            ),
+            probes(key) AS (VALUES ('scan'), ('window'), ('agg'),
+                                   ('zz_absent')),
+            ppos AS (
+                SELECT key, j,
+                       ('0x' || substr(md5(j || ':' || key), 1, 16))
+                           ::UBIGINT % 2048 AS pos
+                FROM probes CROSS JOIN rows_j
+            )
+            SELECT ppos.key,
+                   CAST(MIN(COALESCE(cnt.n, 0)) AS BIGINT) AS est_count
+            FROM ppos LEFT JOIN cnt USING (j, pos)
+            GROUP BY ppos.key
+        """,
         # CCNet trisection: the same surprisal aggregate cut at the
         # exact 33/67 percentiles (the repo's integer quantile rule)
         "lm_buckets": _LM_SURPRISAL_SQL + """
@@ -2994,6 +3061,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, tok_start FROM packed
             WHERE tok_start < 15000
+        """,
+        # bottom-k deterministic sample (ops/sampling.py)
+        "bottom_k_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY ('0x' || substr(md5('17:' || doc_id), 1, 16))
+                         ::UBIGINT,
+                     doc_id
+            LIMIT 50
         """,
         # measured-counts rebalancing (ops/sampling.py): thresholds
         # floor(share_num * N * 2^64 / (share_den * c)) in exact

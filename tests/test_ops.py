@@ -1405,3 +1405,19 @@ def test_approx_distinct_accuracy_and_edges(ray_session):
     empty = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
     assert approx_distinct(empty, "k").to_pandas().loc[0,
                                                        "n_distinct_est"] == 0
+
+
+def test_cms_one_sided_guarantee(ray_session):
+    """Count-Min point estimates never undercount; heavy keys estimate
+    near-exactly at this width; absent keys stay near zero."""
+    import ray.data
+    from web_scraper_ray.ops.sketch import cms_point_estimates
+
+    rows = ([{"v": "hot"}] * 5000 + [{"v": f"t{i}"} for i in range(400)]
+            + [{"v": "warm"}] * 50)
+    ds = ray.data.from_items(rows)
+    est = (cms_point_estimates(ds, "v", probes=("hot", "warm", "nope"))
+           .to_pandas().set_index("key")["est_count"])
+    assert est["hot"] >= 5000 and est["hot"] <= 5000 + 450
+    assert est["warm"] >= 50 and est["warm"] <= 50 + 450
+    assert est["nope"] <= 450  # only collision noise

@@ -267,3 +267,31 @@ def rebalance_sample(
         return df.loc[mask]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def bottom_k_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """EXACTLY ``k`` rows, uniformly at random, deterministically: the
+    k smallest ``md5(seed:key)`` values (the bottom-k / KMV sketch's
+    sample). Complements :func:`hash_sample`'s Bernoulli gate when the
+    output size must be exact (eval sets, fixed-budget audits); same
+    stability guarantees — parallelism-, resume- and (unlike a true
+    reservoir) rerun-independent, and a grown corpus only ever
+    REPLACES sampled rows, never reshuffles survivors' fates.
+
+    Shape: each batch prunes to its local bottom-k (only k rows per
+    block reach the exchange), then one k-bounded global sort+limit —
+    the ``brute_force_topk`` pattern. Ties (astronomically unlikely
+    hash collisions) break by key ascending."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _key_hash(df[key_col], seed)
+        return df.sort_values(["__h", key_col]).head(k)
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .sort(["__h", key_col]).limit(k)
+            .drop_columns(["__h"]))

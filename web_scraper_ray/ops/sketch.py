@@ -41,7 +41,8 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["approx_distinct", "HLL_P", "HLL_M", "ALPHA_E6"]
+__all__ = ["approx_distinct", "cms_point_estimates",
+           "HLL_P", "HLL_M", "ALPHA_E6", "CMS_W", "CMS_D"]
 
 HLL_P = 10                 #: register-index bits
 HLL_M = 1 << HLL_P         #: 1024 registers (~3.25% typical error)
@@ -129,3 +130,94 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
               .map_groups(_fold_bucket, batch_format="pandas"))
     ref = _estimate.remote(*folded.to_arrow_refs())
     return ray.data.from_pandas_refs([ref])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — frequency point estimates over a token stream
+
+CMS_W = 2048  #: counters per row
+CMS_D = 4     #: independent hash rows
+
+
+def _cms_pos(j: int, vals) -> np.ndarray:
+    """Row-j counter positions: md5-upper-half of ``"{j}:{value}"``
+    mod width (the sampling-family hash convention — SQL-replayable)."""
+    pre = f"{j}:"
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5((pre + str(v)).encode())
+                        .digest()[:8], "big") % CMS_W for v in vals),
+        dtype=np.int64, count=len(vals),
+    )
+
+
+def cms_point_estimates(
+    ds: ray.data.Dataset,
+    col: str,
+    probes: tuple,
+) -> ray.data.Dataset:
+    """Count-Min frequency estimates for the ``probes`` keys over the
+    ``col`` stream (Cormode & Muthukrishnan 2005): rows
+    ``(key, est_count)`` with the classic one-sided guarantee
+    ``est >= true`` (collisions only ever inflate). The sketch is
+    CONSTANT d×w counters however large the stream — the hot-key /
+    heavy-hitter probe of a 100-TB corpus where exact per-key counts
+    would be a vocabulary-scale shuffle.
+
+    Shape: per-batch partials emit at most d×w (row, pos, n) counter
+    cells (the combiner), one coarse-bucket fold, and a final
+    estimator task that takes the min over rows per probe. All counts
+    are exact ints and the hash is md5 — the whole sketch replays in
+    SQL (``oracle_sql()['cms_token_counts']``)."""
+    probes = tuple(probes)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].to_numpy()
+        if not len(vals):
+            return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        js, poss, ns = [], [], []
+        for j in range(CMS_D):
+            counts = np.bincount(_cms_pos(j, vals), minlength=CMS_W)
+            live = np.nonzero(counts)[0]
+            js.append(np.full(len(live), j, dtype=np.int64))
+            poss.append(live.astype(np.int64))
+            ns.append(counts[live].astype(np.int64))
+        j = np.concatenate(js)
+        pos = np.concatenate(poss)
+        return pd.DataFrame({"cbkt": (j * CMS_W + pos) % 64,
+                             "j": j, "pos": pos,
+                             "n": np.concatenate(ns)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["j", "pos"], sort=False)["n"].sum()
+        return pd.DataFrame({
+            "j": tot.index.get_level_values(0).to_numpy(),
+            "pos": tot.index.get_level_values(1).to_numpy(),
+            "n": tot.to_numpy().astype("int64"),
+        })
+
+    folded = (ds.select_columns([col])
+              .map_batches(partials, batch_format="pandas")
+              .groupby("cbkt")
+              .map_groups(fold, batch_format="pandas"))
+
+    @ray.remote(num_cpus=0)
+    def estimate(*tables) -> pd.DataFrame:
+        import pyarrow as pa
+
+        cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        live = [t for t in tables if t.num_rows]
+        if live:
+            t = pa.concat_tables(live)
+            cms[t.column("j").to_numpy(),
+                t.column("pos").to_numpy()] = t.column("n").to_numpy()
+        ests = []
+        for p in probes:
+            ests.append(min(int(cms[j, _cms_pos(j, [p])[0]])
+                            for j in range(CMS_D)))
+        return pd.DataFrame({"key": pd.Series(probes, dtype="object"),
+                             "est_count": pd.Series(ests, dtype="int64")})
+
+    return ray.data.from_pandas_refs([estimate.remote(*folded.to_arrow_refs())])
