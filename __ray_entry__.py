@@ -740,6 +740,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ds, "event_id")
 
+    def q_bloom_candidates(sf_dir: str):
+        # Bloom membership pre-filter (ops/sketch.py): members = the
+        # hash_sample quarter of doc ids; the 16 KiB bit array is the
+        # only thing that ships; no false negatives by construction
+        from web_scraper_ray.ops.sampling import hash_sample
+        from web_scraper_ray.ops.sketch import bloom_candidates
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        members = hash_sample(
+            sized_read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]),
+            "doc_id", rate=0.25, seed=17)
+        return bloom_candidates(ds, members, "doc_id")
+
     def q_cms_token_counts(sf_dir: str):
         # Count-Min frequency point estimates for probe tokens over
         # the exploded token stream (ops/sketch.py); one-sided
@@ -1237,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
         "cms_token_counts": q_cms_token_counts,
+        "bloom_candidates": q_bloom_candidates,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2740,13 +2757,42 @@ def oracle_sql() -> dict[str, str]:
                    nnz AS n_registers_hit
             FROM est0
         """,
+        # Bloom filter replay (ops/sketch.py): distinct member
+        # positions, k-of-k probe hits
+        "bloom_candidates": f"""
+            WITH members AS (
+                SELECT doc_id FROM documents
+                WHERE ('0x' || substr(md5('17:' || doc_id), 1, 16))
+                          ::UBIGINT < {int(0.25 * (1 << 64))}::UBIGINT
+            ),
+            rows_j(j) AS (VALUES (0), (1), (2), (3), (4)),
+            bits AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(j || ':' || doc_id), 1, 16))
+                           ::UBIGINT % 131072 AS pos
+                FROM members CROSS JOIN rows_j
+            ),
+            probe AS (
+                SELECT d.doc_id, d.source,
+                       ('0x' || substr(md5(j || ':' || d.doc_id), 1, 16))
+                           ::UBIGINT % 131072 AS pos
+                FROM documents d CROSS JOIN rows_j
+            ),
+            hits AS (
+                SELECT doc_id, source, count(*) AS khit
+                FROM probe JOIN bits USING (pos)
+                GROUP BY doc_id, source
+            )
+            SELECT doc_id, source FROM hits WHERE khit = 5
+        """,
         # Count-Min sketch replay (ops/sketch.py): per-row md5
         # positions, exact counter sums, min over rows per probe
         "cms_token_counts": """
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(COALESCE(text, ''),
                                                  '[^ 	
-]+')) AS v
+
+]+')) AS v
                 FROM documents
             ),
             rows_j(j) AS (VALUES (0), (1), (2), (3)),

@@ -1421,3 +1421,21 @@ def test_cms_one_sided_guarantee(ray_session):
     assert est["hot"] >= 5000 and est["hot"] <= 5000 + 450
     assert est["warm"] >= 50 and est["warm"] <= 50 + 450
     assert est["nope"] <= 450  # only collision noise
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every true member passes the Bloom pre-filter; the false
+    positive rate on non-members stays near the analytic bound."""
+    import ray.data
+    from web_scraper_ray.ops.sketch import bloom_candidates
+
+    members = ray.data.from_items([{"k": i} for i in range(0, 5000, 2)])
+    stream = ray.data.from_items([{"k": i} for i in range(5000)])
+    got = set(bloom_candidates(stream, members, "k").to_pandas()["k"])
+    true = set(range(0, 5000, 2))
+    assert true <= got  # no false negatives, ever
+    fp = len(got - true) / 2500
+    assert fp < 0.02  # (1 - e^{-5*2500/131072})^5 ~ 2.3e-6; margin for luck
+    # empty member set -> nothing passes
+    empty = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
+    assert bloom_candidates(stream, empty, "k").count() == 0

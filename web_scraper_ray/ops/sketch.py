@@ -41,8 +41,9 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["approx_distinct", "cms_point_estimates",
-           "HLL_P", "HLL_M", "ALPHA_E6", "CMS_W", "CMS_D"]
+__all__ = ["approx_distinct", "cms_point_estimates", "bloom_candidates",
+           "HLL_P", "HLL_M", "ALPHA_E6", "CMS_W", "CMS_D",
+           "BLOOM_BITS", "BLOOM_K"]
 
 HLL_P = 10                 #: register-index bits
 HLL_M = 1 << HLL_P         #: 1024 registers (~3.25% typical error)
@@ -221,3 +222,83 @@ def cms_point_estimates(
                              "est_count": pd.Series(ests, dtype="int64")})
 
     return ray.data.from_pandas_refs([estimate.remote(*folded.to_arrow_refs())])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership pre-filter for huge key sets
+
+BLOOM_BITS = 1 << 17  #: 131072 bits = 16 KiB broadcast payload
+BLOOM_K = 5           #: hash functions
+
+
+def _bloom_pos(j: int, vals) -> np.ndarray:
+    pre = f"{j}:"
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5((pre + str(v)).encode())
+                        .digest()[:8], "big") % BLOOM_BITS
+         for v in vals),
+        dtype=np.int64, count=len(vals),
+    )
+
+
+def bloom_candidates(
+    ds: ray.data.Dataset,
+    members: ray.data.Dataset,
+    key_col: str,
+    member_col: str | None = None,
+) -> ray.data.Dataset:
+    """Rows of ``ds`` whose key is POSSIBLY in ``members``, by Bloom
+    filter: no false negatives ever, false positives at the classic
+    ``(1 - e^{-kn/m})^k`` rate. The deduplication / decontamination
+    pre-filter shape for 100 TB: the member set itself may be
+    billions of keys, but the thing that ships to every scan task is
+    a CONSTANT 16 KiB bit array — candidates (a tiny fraction of the
+    corpus) then go through an exact verification join, so the sketch
+    can only cost work, never correctness.
+
+    Build: per-batch position partials (distinct (pos) rows, <= m per
+    batch — the combiner), one coarse-bucket dedup fold, and a Ray
+    task packs the bit array into the object store; the driver never
+    holds the member set. Probe: pure ``map_batches`` scan — k
+    vectorized bit lookups per row. md5 positions replay in SQL
+    (``oracle_sql()['bloom_candidates']``)."""
+    member_col = member_col or key_col
+
+    def mpartials(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(df[member_col])
+        if not len(vals):
+            return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        pos = np.unique(np.concatenate(
+            [_bloom_pos(j, vals) for j in range(BLOOM_K)]))
+        return pd.DataFrame({"cbkt": pos % 64, "pos": pos})
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pos": np.unique(g["pos"].to_numpy())})
+
+    folded = (members.select_columns([member_col])
+              .map_batches(mpartials, batch_format="pandas")
+              .groupby("cbkt")
+              .map_groups(dedup_fold, batch_format="pandas"))
+
+    @ray.remote(num_cpus=0)
+    def pack_bits(*tables) -> np.ndarray:
+        bits = np.zeros(BLOOM_BITS, dtype=bool)
+        for t in tables:
+            if t.num_rows:
+                bits[t.column("pos").to_numpy()] = True
+        return bits
+
+    ref = pack_bits.remote(*folded.to_arrow_refs())
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(ref)  # zero-copy plasma read
+        if not len(df):
+            return df
+        ok = np.ones(len(df), dtype=bool)
+        vals = df[key_col]
+        for j in range(BLOOM_K):
+            ok &= bits[_bloom_pos(j, vals)]
+        return df.loc[ok]
+
+    return ds.map_batches(probe, batch_format="pandas")
