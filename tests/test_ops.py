@@ -1439,3 +1439,29 @@ def test_bloom_no_false_negatives(ray_session):
     # empty member set -> nothing passes
     empty = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
     assert bloom_candidates(stream, empty, "k").count() == 0
+
+
+def test_image_resizer_stage(ray_session):
+    """Resize stage: deterministic byte-grid nearest-neighbor output
+    with the declared dims; strict mode marks the real-decoder seam."""
+    import ray.data
+    from web_scraper_ray.ops.multimodal import (
+        ImageResizer, synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_table(n=12))
+    out = ds.map_batches(ImageResizer, batch_format="pyarrow",
+                         batch_size=4, concurrency=1,
+                         fn_constructor_kwargs={"width": 4, "height": 4}
+                         ).to_pandas()
+    assert len(out) == 12
+    assert (out["width"] == 4).all() and (out["height"] == 4).all()
+    assert out["payload"].map(len).eq(16).all()
+    # deterministic: a rerun produces identical bytes
+    out2 = ds.map_batches(ImageResizer, batch_format="pyarrow",
+                          batch_size=4, concurrency=1,
+                          fn_constructor_kwargs={"width": 4, "height": 4}
+                          ).to_pandas()
+    assert list(out["payload"]) == list(out2["payload"])
+    with pytest.raises(NotImplementedError):
+        ImageResizer(strict=True)

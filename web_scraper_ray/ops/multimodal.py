@@ -14,6 +14,7 @@ Arrow output schema.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -126,6 +127,54 @@ class FrameSampler:
                 "frame_offset_ms": pa.array(offsets, pa.int64()),
             }
         )
+
+
+class ImageResizer:
+    """Actor-pool stage: resize image payloads to ``width`` x
+    ``height``.
+
+    STUB decode (no PIL here; ``strict=True`` raises at the exact
+    seam a real decoder plugs into): the payload's bytes are treated
+    as a square byte grid (side = isqrt(len)) and resized by
+    nearest-neighbor index sampling — deterministic, so the output
+    layout (binary column + integer dims riding alongside) is real
+    and testable. Ray shape: callable CLASS → setup once per actor;
+    binary payloads are wide → callers pass a small batch_size."""
+
+    def __init__(self, width: int = 8, height: int = 8,
+                 strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real image decode/resize needs PIL/cv2 — absent in "
+                "this environment; the stub resizes the raw byte grid")
+        self.width = width
+        self.height = height
+        # precomputed per-actor: the nearest-neighbor index grid is a
+        # pure function of (side, width, height), memoized per side
+        self._grids: dict[int, np.ndarray] = {}
+
+    def _grid(self, side: int) -> np.ndarray:
+        g = self._grids.get(side)
+        if g is None:
+            ys = (np.arange(self.height) * side) // self.height
+            xs = (np.arange(self.width) * side) // self.width
+            g = (ys[:, None] * side + xs[None, :]).ravel()
+            self._grids[side] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            side = max(1, math.isqrt(len(buf)))
+            out.append(buf[self._grid(side)].tobytes())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(out, pa.large_binary()),
+            "width": pa.array([self.width] * batch.num_rows, pa.int64()),
+            "height": pa.array([self.height] * batch.num_rows,
+                               pa.int64()),
+        })
 
 
 def media_feature_pipeline(ds: ray.data.Dataset, concurrency: int = 2,

@@ -1,8 +1,9 @@
-"""Cardinality sketches — HyperLogLog approximate distinct counting
-(Flajolet et al. 2007), the profiling pass of a 100-TB corpus ("how
-many distinct urls / users / shingles?") where an exact
-COUNT(DISTINCT) is an all-to-all over every distinct value but the
-sketch is a CONSTANT 2^p registers per stream.
+"""Streaming sketches — the constant-state profiling ops of a 100-TB
+corpus: HyperLogLog distinct counting (Flajolet et al. 2007),
+Count-Min frequency estimation (Cormode & Muthukrishnan 2005), and a
+Bloom membership pre-filter. Each replaces a vocabulary- or
+key-set-scale shuffle with a fixed few-KiB summary that merges by
+elementwise max/sum/or — the combiner pattern in its purest form.
 
 Determinism discipline (the repo's oracle rule): the hash is the
 md5-upper-half uint64 (the sampling-family convention — DuckDB
