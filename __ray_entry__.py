@@ -63,6 +63,40 @@ _FINGERPRINT_SQL = r"""
         """
 
 
+def _lm_head_ids_sql(threshold: int = 413) -> str:
+    """Self-contained subquery: the doc ids passing the CCNet LM gate
+    (ops/lm.py:surprisal_filter) — whole-bit integer surprisal vs the
+    raw corpus's English subset, mean <= threshold. Inlined (no CTE
+    prefix) so it composes as a ``doc_id IN (...)`` gate predicate."""
+    return f"""
+        SELECT t.doc_id FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(COALESCE(text, ''),
+                                             '[^ \t\n\r\f\v]+')) AS tok
+            FROM documents
+        ) t
+        LEFT JOIN (
+            SELECT tok, count(*)::BIGINT AS c
+            FROM (SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                    '[^ \t\n\r\f\v]+')) AS tok
+                  FROM documents WHERE lang = 'en')
+            GROUP BY tok
+        ) r USING (tok)
+        CROSS JOIN (
+            SELECT sum(c)::BIGINT AS T FROM (
+                SELECT count(*)::BIGINT AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                          COALESCE(text, ''),
+                          '[^ \t\n\r\f\v]+')) AS tok
+                      FROM documents WHERE lang = 'en')
+                GROUP BY tok)
+        ) tot
+        GROUP BY t.doc_id
+        HAVING (100 * sum(length(bin(T // (COALESCE(r.c, 0) + 1))) - 1)
+                ::BIGINT) // count(*)::BIGINT <= {threshold}
+    """
+
+
 def _training_corpus_sql(extra_pred: str = "") -> str:
     """The composite pipeline's DuckDB twin: quality-gated stats →
     md5 exact dedup AMONG SURVIVORS (min doc_id wins) → langid +
@@ -401,6 +435,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, bench = _bench_docs(sf_dir)
         return training_corpus_ds(
             ds, near_dedup=False, repetition=True, decontam_bench=bench
+        )
+
+    def q_training_corpus_v2(sf_dir: str):
+        # the full modern curation recipe in one composite: Gopher
+        # gate + repetition + decontamination + CCNet LM gate, then
+        # exact dedup and the labeling stages — every stage under ONE
+        # SQL hash check
+        from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        _, bench = _bench_docs(sf_dir)
+        return training_corpus_ds(
+            ds, near_dedup=False, repetition=True, decontam_bench=bench,
+            lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
         )
 
     def q_near_dedup(sf_dir: str):
@@ -1222,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "training_corpus": q_training_corpus,
         "training_corpus_full": q_training_corpus_full,
+        "training_corpus_v2": q_training_corpus_v2,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "knn_label_hist": q_knn_label_hist,
@@ -3031,6 +3082,10 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus_full": _training_corpus_sql(extra_pred=f"""
               AND doc_id IN ({_repetition_filter_sql()})
               AND doc_id IN ({_decontam_survivors_sql()})"""),
+        "training_corpus_v2": _training_corpus_sql(extra_pred=f"""
+              AND doc_id IN ({_repetition_filter_sql()})
+              AND doc_id IN ({_decontam_survivors_sql()})
+              AND doc_id IN ({_lm_head_ids_sql()})"""),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),

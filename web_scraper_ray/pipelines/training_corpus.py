@@ -52,6 +52,8 @@ def training_corpus_ds(
     repetition: bool = False,
     decontam_bench: Optional[ray.data.Dataset] = None,
     decontam_n: int = 8,
+    lm_target: Optional[ray.data.Dataset] = None,
+    lm_max_mean_bits_e2: int = 413,
     **quality_kwargs,
 ) -> ray.data.Dataset:
     """documents(id, text) → the curated corpus Dataset (CORPUS_COLUMNS).
@@ -59,10 +61,12 @@ def training_corpus_ds(
     Stage order matters and is part of the semantics: the quality gate
     runs FIRST (cheap, vectorized, prunes most rows before anything
     shuffles), then the optional pure-filter gates — Gopher repetition
-    (``repetition=True``) and benchmark decontamination
-    (``decontam_bench`` = the eval-set documents table) — still before
-    anything shuffles; exact dedup runs over the survivors (min id per
-    md5), near-dup removal (optional) over the exact-deduped set, and
+    (``repetition=True``), benchmark decontamination
+    (``decontam_bench`` = the eval-set documents table) and the
+    CCNet-style LM gate (``lm_target`` = the target-domain docs) —
+    still before anything shuffles; exact dedup runs over the
+    survivors (min id per md5), near-dup removal (optional) over the
+    exact-deduped set, and
     the labeling stages (langid actor pool, fingerprint, token counts
     ride along from the gate) run last, over the smallest set."""
 
@@ -83,6 +87,14 @@ def training_corpus_ds(
 
         gated = decontaminate(gated, decontam_bench, n=decontam_n,
                               id_col=id_col)
+    if lm_target is not None:
+        # CCNet-style LM gate (ops/lm.py): still a pure per-doc
+        # filter, so it runs with the other gates before any shuffle
+        from ..ops.lm import surprisal_filter
+
+        gated = surprisal_filter(gated, lm_target,
+                                 max_mean_bits_e2=lm_max_mean_bits_e2,
+                                 id_col=id_col)
     deduped = exact_dedup(gated, text_col="text", id_col=id_col)
     if near_dedup:
         deduped = remove_near_duplicates(
