@@ -64,36 +64,16 @@ _FINGERPRINT_SQL = r"""
 
 
 def _lm_head_ids_sql(threshold: int = 413) -> str:
-    """Self-contained subquery: the doc ids passing the CCNet LM gate
-    (ops/lm.py:surprisal_filter) — whole-bit integer surprisal vs the
-    raw corpus's English subset, mean <= threshold. Inlined (no CTE
-    prefix) so it composes as a ``doc_id IN (...)`` gate predicate."""
-    return f"""
-        SELECT t.doc_id FROM (
-            SELECT doc_id,
-                   unnest(regexp_extract_all(COALESCE(text, ''),
-                                             '[^ \t\n\r\f\v]+')) AS tok
-            FROM documents
-        ) t
-        LEFT JOIN (
-            SELECT tok, count(*)::BIGINT AS c
-            FROM (SELECT unnest(regexp_extract_all(COALESCE(text, ''),
-                                    '[^ \t\n\r\f\v]+')) AS tok
-                  FROM documents WHERE lang = 'en')
-            GROUP BY tok
-        ) r USING (tok)
-        CROSS JOIN (
-            SELECT sum(c)::BIGINT AS T FROM (
-                SELECT count(*)::BIGINT AS c
-                FROM (SELECT unnest(regexp_extract_all(
-                          COALESCE(text, ''),
-                          '[^ \t\n\r\f\v]+')) AS tok
-                      FROM documents WHERE lang = 'en')
-                GROUP BY tok)
-        ) tot
-        GROUP BY t.doc_id
-        HAVING (100 * sum(length(bin(T // (COALESCE(r.c, 0) + 1))) - 1)
-                ::BIGINT) // count(*)::BIGINT <= {threshold}
+    """Subquery of the doc ids passing the CCNet LM gate
+    (ops/lm.py:surprisal_filter): ONE source of truth — the shared
+    ``_LM_SURPRISAL_SQL`` CTE prefix — wrapped as a standalone
+    WITH-query (DuckDB allows WITH inside an ``IN (...)`` subquery),
+    so the load-bearing whole-bit formula is never restated."""
+    return _LM_SURPRISAL_SQL + f"""
+            SELECT doc_id FROM b
+            GROUP BY doc_id
+            HAVING (100 * sum(bits)::BIGINT) // count(*)::BIGINT
+                   <= {threshold}
     """
 
 
@@ -2784,8 +2764,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
                 SELECT count(*)::BIGINT AS nnz,
-                       sum(18446744073709551616::HUGEINT
-                           // (1::UBIGINT << r)) AS s_live
+                       COALESCE(sum(18446744073709551616::HUGEINT
+                                    // (1::UBIGINT << r)),
+                                0::HUGEINT) AS s_live
                 FROM reg
             ),
             est0 AS (
@@ -2841,9 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counts": """
             WITH tok AS (
                 SELECT unnest(regexp_extract_all(COALESCE(text, ''),
-                                                 '[^ 	
-
-]+')) AS v
+                                                 '[^ \t\n\r\f\v]+')) AS v
                 FROM documents
             ),
             rows_j(j) AS (VALUES (0), (1), (2), (3)),

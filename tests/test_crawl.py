@@ -331,11 +331,29 @@ def test_hash_index_prunes_row_groups(ray_session, small_corpus, tmp_path):
     h, _ = _fold_keys.remote(pa.table({"url": pa.array(want[:3])}))
     runs = ray.get(_plan_fragments.remote(idx, h))
     assert 0 < sum(len(r["rgs"]) for r in runs) < total
-    # misses return nothing; a rebuilt index is stamp-cached
+    # misses return nothing
     assert hash_lookup(idx, ["http://nosuch.example/x"], "url").count() == 0
+    # a re-build is stamp-cached: the data files must be UNTOUCHED
+    # (path equality alone would also hold after a silent full rebuild)
+    import os
+    before = {f: os.stat(os.path.join(idx, "data", f)).st_mtime_ns
+              for f in os.listdir(os.path.join(idx, "data"))}
     assert build_hash_index(f"{small_corpus}/pages", "url",
                             str(tmp_path / "hidx"), columns=["url", "html"],
                             rows_per_group=16) == idx
+    after = {f: os.stat(os.path.join(idx, "data", f)).st_mtime_ns
+             for f in os.listdir(os.path.join(idx, "data"))}
+    assert after == before
+    # and an in-place SOURCE rewrite (same names/sizes, new mtime)
+    # invalidates the stamp
+    src_file = sorted(glob.glob(f"{small_corpus}/pages/*.parquet"))[0]
+    os.utime(src_file)
+    assert build_hash_index(f"{small_corpus}/pages", "url",
+                            str(tmp_path / "hidx"), columns=["url", "html"],
+                            rows_per_group=16) == idx
+    rebuilt = {f: os.stat(os.path.join(idx, "data", f)).st_mtime_ns
+               for f in os.listdir(os.path.join(idx, "data"))}
+    assert rebuilt != before
 
 
 def test_live_fetch_mode_parity(ray_session, small_corpus, tmp_path_factory,

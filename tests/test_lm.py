@@ -146,3 +146,20 @@ def test_surprisal_buckets_trisection(ray_session):
             for v in m]
     assert list(got["bucket"]) == want
     assert set(got["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_surprisal_degenerate_single_type_target(ray_session):
+    """A target of one repeated token type makes T // (c+1) == 0; the
+    clamp keeps bits at 0 (DuckDB length(bin(0))-1 parity) instead of
+    -1."""
+    import ray.data
+    from web_scraper_ray.ops.lm import surprisal_scores
+
+    target = ray.data.from_items([{"text": "the the the"}])
+    ds = ray.data.from_items([{"doc_id": 0, "text": "the the"},
+                              {"doc_id": 1, "text": "oov tokens"}])
+    got = (surprisal_scores(ds, target).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "total_bits"] == 0  # in-vocab: clamped to 0
+    assert got.loc[0, "mean_bits_e2"] == 0
+    assert got.loc[1, "total_bits"] == 2  # OOV: T=3 -> 1 bit each

@@ -108,9 +108,13 @@ def _fold_surprisal(*tables) -> tuple[dict, int]:
     toks = t.column("token").to_pylist()
     ns = t.column("n").to_pylist()
     total = int(sum(ns))
-    bits = {tok: (total // (int(n) + 1)).bit_length() - 1
+    # max(..., 0): when c_tok == T (a single-type target) the quotient
+    # is 0 and bit_length()-1 would give -1, but DuckDB's
+    # length(bin(0))-1 is 0 — clamp so the SQL twin stays bit-equal
+    # over the WHOLE domain, degenerate targets included
+    bits = {tok: max((total // (int(n) + 1)).bit_length() - 1, 0)
             for tok, n in zip(toks, ns)}
-    return bits, total.bit_length() - 1
+    return bits, max(total.bit_length() - 1, 0)
 
 
 def _target_bits_ref(target: ray.data.Dataset, text_col: str):

@@ -254,17 +254,21 @@ def rebalance_sample(
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         thr = ray.get(ref)
         h = _key_hash(df[key_col], seed)
-        # per distinct group (a handful per batch), exact int compare;
-        # t >= 2^64 keeps everything without a clamped boundary
-        mask = np.zeros(len(df), dtype=bool)
-        for g in pd.unique(df[group_col]):
+        # the stratified_sample factorize gate: one pass to codes, a
+        # per-UNIQUE-group threshold array (exact ints — t >= 2^64
+        # groups keep everything with no clamped boundary), then a
+        # vectorized row gate; -1 codes (null group) land on the
+        # drop-everything sentinel slot
+        codes, uniques = pd.factorize(df[group_col], sort=False)
+        thr_u = np.zeros(len(uniques) + 1, dtype=np.uint64)
+        full_u = np.zeros(len(uniques) + 1, dtype=bool)
+        for i, g in enumerate(uniques):
             tg = thr.get(g, 0)
-            sel = (df[group_col] == g).to_numpy()
             if tg >= (1 << 64):
-                mask |= sel
-            elif tg > 0:
-                mask |= sel & (h < np.uint64(tg))
-        return df.loc[mask]
+                full_u[i] = True
+            else:
+                thr_u[i] = tg
+        return df.loc[full_u[codes] | (h < thr_u[codes])]
 
     return ds.map_batches(keep, batch_format="pandas")
 

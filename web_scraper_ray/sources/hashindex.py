@@ -79,8 +79,13 @@ def _src_stamp(src_path: str, key_col: str, columns, rows_per_group: int) -> str
                       if f.endswith(".parquet")]
     else:
         files = [src_path]
-    sig = ";".join(f"{os.path.basename(f)}:{os.path.getsize(f)}"
-                   for f in sorted(files))
+    # name + size + mtime_ns: an in-place rewrite with same-size files
+    # (easy with fixed-schema synthetic corpora) must invalidate too —
+    # a stale index would silently serve rows from the OLD corpus
+    sig = ";".join(
+        f"{os.path.basename(f)}:{os.path.getsize(f)}:"
+        f"{os.stat(f).st_mtime_ns}"
+        for f in sorted(files))
     return f"{key_col}:{','.join(columns or [])}:{rows_per_group}:{sig}"
 
 
