@@ -63,6 +63,57 @@ _FINGERPRINT_SQL = r"""
         """
 
 
+def _hll_ctes(val_expr: str, from_clause: str) -> str:
+    """The HyperLogLog replay's CTE chain (ops/sketch.py constants:
+    p=10, m=1024, ALPHA_E6=720541) over an arbitrary value stream —
+    shared by every sketch oracle so the register/estimator arithmetic
+    has ONE SQL source of truth. Ends with ``est0(nnz, raw)``; callers
+    apply the linear-counting CASE."""
+    return f"""h AS (
+                SELECT ('0x' || substr(md5(CAST({val_expr} AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM {from_clause}
+            ),
+            reg AS (
+                SELECT CAST(h >> 54 AS BIGINT) AS idx,
+                       MAX(CASE WHEN (h & 18014398509481983::UBIGINT)
+                                     = 0 THEN 55
+                                ELSE 55 - length(bin(
+                                    (h & 18014398509481983::UBIGINT)
+                                        ::BIGINT))
+                           END) AS r
+                FROM h GROUP BY idx
+            ),
+            agg AS (
+                SELECT count(*)::BIGINT AS nnz,
+                       COALESCE(sum(18446744073709551616::HUGEINT
+                                    // (1::UBIGINT << r)),
+                                0::HUGEINT) AS s_live
+                FROM reg
+            ),
+            est0 AS (
+                SELECT nnz,
+                       (720541::HUGEINT * 1024 * 1024
+                        * 18446744073709551616::HUGEINT)
+                       // (1000000::HUGEINT
+                           * (s_live
+                              + (1024 - nnz)::HUGEINT
+                                * 18446744073709551616::HUGEINT))
+                           AS raw
+                FROM agg
+            )"""
+
+
+#: the estimator CASE applied to _hll_ctes' est0 (linear counting on
+#: the small-range branch; the bm25 one-division + libm-ln discipline)
+_HLL_EST_CASE = """CASE WHEN raw <= 2560 AND nnz < 1024
+                        THEN CAST(floor(1024.0 * ln(
+                                 1024.0 / CAST(1024 - nnz AS DOUBLE)))
+                             AS BIGINT)
+                        ELSE CAST(raw AS BIGINT)
+                   END"""
+
+
 def _lm_head_ids_sql(threshold: int = 413) -> str:
     """Subquery of the doc ids passing the CCNet LM gate
     (ops/lm.py:surprisal_filter): ONE source of truth — the shared
@@ -770,6 +821,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ds, "event_id")
 
+    def q_corpus_profile(sf_dir: str):
+        # six-row corpus report (ops/profile.py): counts, HLL vocab
+        # estimate, exact integer quantiles, distinct sources
+        from web_scraper_ray.ops.profile import corpus_profile
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source", "n_chars"],
+        )
+        return corpus_profile(ds)
+
     def q_bloom_candidates(sf_dir: str):
         # Bloom membership pre-filter (ops/sketch.py): members = the
         # hash_sample quarter of doc ids; the 16 KiB bit array is the
@@ -1285,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_events": q_approx_distinct_events,
         "cms_token_counts": q_cms_token_counts,
         "bloom_candidates": q_bloom_candidates,
+        "corpus_profile": q_corpus_profile,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2746,48 +2809,41 @@ def oracle_sql() -> dict[str, str]:
         # 10-bit register index, integer rank/harmonic arithmetic,
         # pinned ALPHA_E6; linear-counting branch = one IEEE division
         # + libm ln + exact 2^10 scale + floor (the bm25 discipline)
-        "approx_distinct_events": """
-            WITH h AS (
-                SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
-                                       1, 16))::UBIGINT AS h
-                FROM events
-            ),
-            reg AS (
-                SELECT CAST(h >> 54 AS BIGINT) AS idx,
-                       MAX(CASE WHEN (h & 18014398509481983::UBIGINT)
-                                     = 0 THEN 55
-                                ELSE 55 - length(bin(
-                                    (h & 18014398509481983::UBIGINT)
-                                        ::BIGINT))
-                           END) AS r
-                FROM h GROUP BY idx
-            ),
-            agg AS (
-                SELECT count(*)::BIGINT AS nnz,
-                       COALESCE(sum(18446744073709551616::HUGEINT
-                                    // (1::UBIGINT << r)),
-                                0::HUGEINT) AS s_live
-                FROM reg
-            ),
-            est0 AS (
-                SELECT nnz,
-                       (720541::HUGEINT * 1024 * 1024
-                        * 18446744073709551616::HUGEINT)
-                       // (1000000::HUGEINT
-                           * (s_live
-                              + (1024 - nnz)::HUGEINT
-                                * 18446744073709551616::HUGEINT))
-                           AS raw
-                FROM agg
-            )
-            SELECT CASE WHEN raw <= 2560 AND nnz < 1024
-                        THEN CAST(floor(1024.0 * ln(
-                                 1024.0 / CAST(1024 - nnz AS DOUBLE)))
-                             AS BIGINT)
-                        ELSE CAST(raw AS BIGINT)
-                   END AS n_distinct_est,
+        "approx_distinct_events": f"""
+            WITH {_hll_ctes("event_id", "events")}
+            SELECT {_HLL_EST_CASE} AS n_distinct_est,
                    nnz AS n_registers_hit
             FROM est0
+        """,
+        # corpus profiling report (ops/profile.py): every metric an
+        # already-oracled primitive (counts, HLL vocab, integer
+        # quantiles, exact distinct)
+        "corpus_profile": f"""
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) AS v
+                FROM documents
+            ),
+            vc AS (SELECT n_chars AS cv, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents GROUP BY n_chars),
+            cum AS (SELECT cv, SUM(c) OVER (ORDER BY cv) AS cc FROM vc),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            {_hll_ctes("v", "tok")}
+            SELECT 'n_docs' AS metric,
+                   (SELECT count(*)::BIGINT FROM documents) AS value
+            UNION ALL SELECT 'n_tokens',
+                   (SELECT count(*)::BIGINT FROM tok)
+            UNION ALL SELECT 'vocab_est',
+                   (SELECT {_HLL_EST_CASE} FROM est0)
+            UNION ALL SELECT 'chars_p50',
+                   (SELECT MIN(cv)::BIGINT FROM cum, nn
+                    WHERE cc >= (50 * nn.n + 99) // 100)
+            UNION ALL SELECT 'chars_p90',
+                   (SELECT MIN(cv)::BIGINT FROM cum, nn
+                    WHERE cc >= (90 * nn.n + 99) // 100)
+            UNION ALL SELECT 'n_sources',
+                   (SELECT count(DISTINCT source)::BIGINT
+                    FROM documents)
         """,
         # Bloom filter replay (ops/sketch.py): distinct member
         # positions, k-of-k probe hits
