@@ -821,6 +821,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ds, "event_id")
 
+    def q_corpus_diff(sf_dir: str):
+        # recrawl snapshot diff (ops/diff.py): new = documents with
+        # deterministic removals (%7), edits (%10) and additions
+        # (%13 clones at doc_id+100000), replayed verbatim in SQL
+        import pandas as pd
+
+        from web_scraper_ray.ops.diff import corpus_diff
+
+        old = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def mutate(df: pd.DataFrame) -> pd.DataFrame:
+            kept = df.loc[df["doc_id"] % 7 != 0].copy()
+            edit = kept["doc_id"] % 10 == 0
+            kept.loc[edit, "text"] = kept.loc[edit, "text"] + "x"
+            clones = df.loc[df["doc_id"] % 13 == 0].copy()
+            clones["doc_id"] = clones["doc_id"] + 100000
+            return pd.concat([kept, clones], ignore_index=True)
+
+        new = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(mutate, batch_format="pandas")
+        return corpus_diff(old, new)
+
     def q_corpus_profile(sf_dir: str):
         # six-row corpus report (ops/profile.py): counts, HLL vocab
         # estimate, exact integer quantiles, distinct sources
@@ -1348,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": q_cms_token_counts,
         "bloom_candidates": q_bloom_candidates,
         "corpus_profile": q_corpus_profile,
+        "corpus_diff": q_corpus_diff,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2814,6 +2840,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_HLL_EST_CASE} AS n_distinct_est,
                    nnz AS n_registers_hit
             FROM est0
+        """,
+        # snapshot diff (ops/diff.py): FULL OUTER JOIN on the same
+        # int63 md5-upper-half content hash the engine compares
+        "corpus_diff": """
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN text || 'x'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000, text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            o AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM documents),
+            n AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM newt),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         o.h AS ho, n.h AS hn
+                  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN ho IS NULL THEN 'added'
+                        WHEN hn IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM j
+            WHERE ho IS NULL OR hn IS NULL OR ho <> hn
         """,
         # corpus profiling report (ops/profile.py): every metric an
         # already-oracled primitive (counts, HLL vocab, integer

@@ -1465,3 +1465,29 @@ def test_image_resizer_stage(ray_session):
     assert list(out["payload"]) == list(out2["payload"])
     with pytest.raises(NotImplementedError):
         ImageResizer(strict=True)
+
+
+def test_corpus_diff_verdicts(ray_session):
+    """added/removed/changed/unchanged verdicts against a sequential
+    model; unchanged rows dropped unless requested."""
+    import ray.data
+    from web_scraper_ray.ops.diff import corpus_diff
+
+    old = ray.data.from_items([
+        {"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"},
+        {"doc_id": 3, "text": "c"}, {"doc_id": 4, "text": "d"},
+    ])
+    new = ray.data.from_items([
+        {"doc_id": 1, "text": "a"},        # unchanged
+        {"doc_id": 2, "text": "B"},        # changed
+        {"doc_id": 4, "text": "d"},        # unchanged
+        {"doc_id": 5, "text": "e"},        # added
+    ])                                      # 3 removed
+    got = dict(corpus_diff(old, new).to_pandas()
+               [["doc_id", "change"]].itertuples(index=False))
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    full = dict(corpus_diff(old, new, keep_unchanged=True).to_pandas()
+                [["doc_id", "change"]].itertuples(index=False))
+    assert full[1] == "unchanged" and full[4] == "unchanged"
+    # identical snapshots: empty diff
+    assert corpus_diff(old, old).count() == 0
