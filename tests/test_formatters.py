@@ -383,3 +383,30 @@ def test_token_stage(ray_session):
     out = token_stage(ds, concurrency=1).to_pandas()
     # fallback estimator: len including tags // 4 (scraper.py:426)
     assert out["token_count"].iloc[0] == (100 + 7) // 4
+
+
+def test_write_jsonl_shards(ray_session, tmp_path):
+    """JSONL export: shard count tracks rows_per_shard, every row
+    round-trips, manifest counts are exact and atomic."""
+    import json
+    import os
+
+    import ray.data
+
+    from web_scraper_ray.sinks import write_jsonl_shards
+
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(250)]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "exp")
+    man = write_jsonl_shards(ds, out, rows_per_shard=100)
+    assert man["n_rows"] == 250 and man["n_files"] >= 3
+    assert sum(man["files"].values()) == 250
+    got = []
+    for f in sorted(man["files"]):
+        with open(os.path.join(out, f)) as fh:
+            got += [json.loads(line) for line in fh]
+    assert sorted(r["doc_id"] for r in got) == list(range(250))
+    assert json.load(open(os.path.join(out, "_manifest.json")))["n_rows"] == 250
+    # rerun overwrites cleanly (no stale shard mixing)
+    man2 = write_jsonl_shards(ds, out, rows_per_shard=100)
+    assert sum(man2["files"].values()) == 250

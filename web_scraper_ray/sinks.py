@@ -147,3 +147,48 @@ def run_stats(extracted: ray.data.Dataset) -> dict:
         "total_tokens": int(agg["total_tokens"] or 0),
         "total_images": int(agg["total_images"] or 0),
     }
+
+
+def write_jsonl_shards(
+    ds,
+    out_dir: str,
+    rows_per_shard: int = 100_000,
+) -> dict:
+    """Training-export sink: the corpus as JSONL shards (the LLM-data
+    interchange format) + an atomic ``_manifest.json``.
+
+    Resumable-output contract (the repo's parquet-sink rule): shards
+    are written by Ray's streaming `write_json` (one file per block —
+    repartition first if block sizes are wild), the manifest records
+    file names + row counts, and a rerun can compare counts instead of
+    re-exporting. ``rows_per_shard`` bounds block size via repartition
+    only when blocks would exceed it (no shuffle otherwise)."""
+    import json
+    import os
+
+    import pyarrow.json  # noqa: F401  (ray write_json dependency)
+
+    n_rows = ds.count()
+    if rows_per_shard and n_rows > rows_per_shard:
+        ds = ds.repartition(max(1, -(-n_rows // rows_per_shard)))
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if f.endswith(".json") or f.endswith(".jsonl") \
+                    or f.startswith("_manifest.json"):
+                os.remove(os.path.join(out_dir, f))
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+    files = sorted(f for f in os.listdir(out_dir)
+                   if f.endswith(".json") or f.endswith(".jsonl"))
+    counts = {}
+    for f in files:
+        with open(os.path.join(out_dir, f), "rb") as fh:
+            counts[f] = sum(1 for _ in fh)
+    manifest = {"n_rows": n_rows, "n_files": len(files),
+                "files": counts}
+    assert sum(counts.values()) == n_rows, (sum(counts.values()), n_rows)
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    return manifest
