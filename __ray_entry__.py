@@ -1170,6 +1170,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bottom_k_sample(ds, "doc_id", k=50, seed=17)
 
+    def q_crawl_budget(sf_dir: str):
+        # per-host crawl-budget apportionment (largest-remainder /
+        # Hamilton, exact integer arithmetic — ops/sampling.py:
+        # apportion_budget): a global budget of 137 fetches split
+        # across sources proportional to total content volume
+        from web_scraper_ray.ops.sampling import apportion_budget
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return apportion_budget(ds, "source", budget=137,
+                                weight_col="n_chars")
+
+    def q_budget_plan(sf_dir: str):
+        # the crawl plan the apportionment implies: per source, its
+        # quota's worth of rows by smallest md5(seed:doc_id) —
+        # deterministic per-group uniform draw with data-derived k
+        # (ops/sampling.py:budget_select)
+        from web_scraper_ray.ops.sampling import budget_select
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        return budget_select(ds, "source", "doc_id", budget=137,
+                             weight_col="n_chars", seed=17)
+
     def q_rebalance_mix(sf_dir: str):
         # measured-counts domain rebalancing (DoReMi-lite,
         # ops/sampling.py:rebalance_sample): every source downsampled
@@ -1398,6 +1425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_head": q_token_budget_head,
         "rebalance_mix": q_rebalance_mix,
         "bottom_k_docs": q_bottom_k_docs,
+        "crawl_budget": q_crawl_budget,
+        "budget_plan": q_budget_plan,
         "media_features": q_media_features,
     }
 
@@ -3261,6 +3290,70 @@ def oracle_sql() -> dict[str, str]:
                          ::UBIGINT,
                      doc_id
             LIMIT 50
+        """,
+        # per-host crawl-budget apportionment (ops/sampling.py:
+        # apportion_budget): largest-remainder quotas in exact HUGEINT
+        # arithmetic — q0 = (B*w) // W, leftover units to the largest
+        # remainders, ties by source ascending
+        "crawl_budget": """
+            WITH w AS (
+                SELECT source, sum(n_chars)::HUGEINT AS wt
+                FROM documents GROUP BY source
+            ),
+            t AS (SELECT sum(wt) AS tot FROM w),
+            b AS (
+                SELECT source, wt,
+                       (137::HUGEINT * wt) // tot AS q0,
+                       (137::HUGEINT * wt) % tot AS rem
+                FROM w, t
+            ),
+            s AS (SELECT 137 - sum(q0) AS leftover FROM b),
+            r AS (
+                SELECT source, wt, q0,
+                       row_number() OVER (ORDER BY rem DESC, source ASC)
+                           AS rk
+                FROM b
+            )
+            SELECT r.source, r.wt::BIGINT AS weight,
+                   (r.q0 + CASE WHEN r.rk <= s.leftover
+                                THEN 1 ELSE 0 END)::BIGINT AS quota
+            FROM r, s
+        """,
+        # the plan those quotas imply (ops/sampling.py:budget_select):
+        # per source, the quota smallest md5(17:doc_id) rows
+        "budget_plan": """
+            WITH w AS (
+                SELECT source, sum(n_chars)::HUGEINT AS wt
+                FROM documents GROUP BY source
+            ),
+            t AS (SELECT sum(wt) AS tot FROM w),
+            b AS (
+                SELECT source, wt,
+                       (137::HUGEINT * wt) // tot AS q0,
+                       (137::HUGEINT * wt) % tot AS rem
+                FROM w, t
+            ),
+            s AS (SELECT 137 - sum(q0) AS leftover FROM b),
+            q AS (
+                SELECT source,
+                       q0 + CASE WHEN row_number() OVER
+                                      (ORDER BY rem DESC, source ASC)
+                                      <= s.leftover
+                                 THEN 1 ELSE 0 END AS quota
+                FROM b, s
+            ),
+            rk AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5('17:' || doc_id),
+                                                    1, 16))::UBIGINT ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+            )
+            SELECT rk.doc_id, rk.source, rk.n_chars
+            FROM rk JOIN q ON rk.source = q.source
+            WHERE rk.rn <= q.quota
         """,
         # measured-counts rebalancing (ops/sampling.py): thresholds
         # floor(share_num * N * 2^64 / (share_den * c)) in exact

@@ -728,6 +728,85 @@ def test_cap_per_group_quota(ray_session):
         ("a", 4), ("b", 9), ("c", 10)]
 
 
+def test_apportion_budget_hamilton(ray_session):
+    """Largest-remainder quotas: Σquota == budget exactly, quotas are
+    proportional (|quota - B*w/W| < 1), leftover units go to the
+    largest remainders with source-ascending tie-break, and the
+    weightless form apportions by row count."""
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import apportion_budget
+
+    df = pd.DataFrame({
+        "src": ["a"] * 3 + ["b"] * 2 + ["c"] * 1,
+        "w": [10, 10, 10, 3, 3, 1],
+    })
+    for parts in (None, 4):
+        ds = ray.data.from_pandas(df)
+        if parts:
+            ds = ds.repartition(parts)
+        out = (apportion_budget(ds, "src", budget=10, weight_col="w")
+               .to_pandas().set_index("src").sort_index())
+        assert int(out["quota"].sum()) == 10
+        assert list(out["weight"]) == [30, 6, 1]
+        # exact: q0 = (10*w)//37 = [8, 1, 0]; remainders [4, 23, 10]
+        # -> the single leftover unit goes to b (largest remainder)
+        assert list(out["quota"]) == [8, 2, 0]
+    # count-weighted: quotas follow row counts [3, 2, 1] of budget 6
+    cnt = (apportion_budget(ray.data.from_pandas(df), "src", budget=6)
+           .to_pandas().set_index("src").sort_index())
+    assert list(cnt["quota"]) == [3, 2, 1]
+    # budget 0 and empty input are exact zeros / empty
+    z = apportion_budget(ray.data.from_pandas(df), "src", 0).to_pandas()
+    assert int(z["quota"].sum()) == 0
+    empty = apportion_budget(
+        ray.data.from_pandas(df).filter(lambda r: False), "src", 5
+    ).to_pandas()
+    assert len(empty) == 0
+
+
+def test_budget_select_plan(ray_session):
+    """The materialized plan keeps exactly min(quota_g, |g|) rows per
+    group — the quota smallest md5(seed:key) — identically at any
+    partitioning, and agrees with the quota table."""
+    import hashlib
+
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import apportion_budget, budget_select
+
+    rows = [{"doc_id": i, "src": f"s{i % 5}", "w": 1 + (i % 7)}
+            for i in range(200)]
+    df = pd.DataFrame(rows)
+    quota = (apportion_budget(ray.data.from_pandas(df), "src", 41,
+                              weight_col="w")
+             .to_pandas().set_index("src")["quota"].to_dict())
+    assert sum(quota.values()) == 41
+
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"17:{i}".encode()).digest()[:8], "big")
+
+    want = set()
+    for s, g in df.groupby("src"):
+        ids = sorted(g["doc_id"], key=lambda i: (h(i), i))
+        want |= set(ids[: quota[s]])
+
+    for parts in (None, 7):
+        ds = ray.data.from_pandas(df)
+        if parts:
+            ds = ds.repartition(parts)
+        out = budget_select(ds, "src", "doc_id", 41, weight_col="w",
+                            seed=17).to_pandas()
+        assert set(out["doc_id"]) == want
+        assert list(out.columns) == ["doc_id", "src", "w"]
+    # quota above a group's size: the whole group survives, no more
+    tiny = pd.DataFrame({"doc_id": [0, 1, 2], "src": ["a", "a", "b"]})
+    big = budget_select(ray.data.from_pandas(tiny), "src", "doc_id",
+                        budget=30).to_pandas()
+    assert len(big) == 3
+
+
 def test_stratified_sample_rates(ray_session):
     import ray.data
 

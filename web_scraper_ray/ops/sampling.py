@@ -273,6 +273,145 @@ def rebalance_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def _quota_table_ref(ds: ray.data.Dataset, group_col: str, budget: int,
+                     weight_col: str | None):
+    """ObjectRef to one Arrow table ``(group_col, weight, quota)`` —
+    largest-remainder (Hamilton) apportionment of ``budget`` across
+    groups, proportional to ``weight_col`` sums (or row counts).
+
+    All arithmetic is exact integer (Python bigints; HUGEINT in the
+    SQL twin): ``q0 = (B*w) // W``, leftover ``B - Σq0`` units go to
+    the groups with the largest remainders ``(B*w) % W``, ties broken
+    by group ascending — a total order, so quotas are parallelism- and
+    resume-stable. Group cardinality is #hosts/#domains — a small
+    side — so the fold is one Ray task and the table broadcasts via
+    the object store."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = [group_col] + ([weight_col] if weight_col else [])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col:
+            w = df.groupby(group_col, sort=False)[weight_col].sum()
+        else:
+            w = df.groupby(group_col, sort=False).size()
+        return pd.DataFrame({group_col: w.index.to_numpy(),
+                             "wt": w.to_numpy().astype("int64")})
+
+    counts = (ds.select_columns(cols)
+              .map_batches(partials, batch_format="pandas")
+              .groupby(group_col).aggregate(Sum("wt", alias_name="wt")))
+
+    @ray.remote(num_cpus=0)
+    def fold(*tables) -> pa.Table:
+        wt: dict = {}
+        for t in tables:
+            if not t.num_rows:
+                continue
+            for g, w in zip(t.column(group_col).to_pylist(),
+                            t.column("wt").to_pylist()):
+                wt[g] = wt.get(g, 0) + int(w)
+        total = sum(wt.values())
+        groups = sorted(wt)
+        if total <= 0:
+            q0, rem, leftover = {g: 0 for g in groups}, {}, 0
+            order = []
+        else:
+            q0 = {g: (budget * wt[g]) // total for g in groups}
+            rem = {g: (budget * wt[g]) % total for g in groups}
+            leftover = budget - sum(q0.values())
+            order = sorted(groups, key=lambda g: (-rem[g], g))
+        bump = set(order[:leftover])
+        return pa.table({
+            group_col: pa.array(groups, type=pa.string()),
+            "weight": pa.array([wt[g] for g in groups], type=pa.int64()),
+            "quota": pa.array([q0[g] + (1 if g in bump else 0)
+                               for g in groups], type=pa.int64()),
+        })
+
+    return fold.remote(*counts.to_arrow_refs())
+
+
+def apportion_budget(
+    ds: ray.data.Dataset,
+    group_col: str,
+    budget: int,
+    weight_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-host crawl-budget apportionment: split a global fetch budget
+    of ``budget`` URLs across groups (hosts/domains) proportional to
+    each group's weight (``weight_col`` sum, or candidate count when
+    ``None``) by the largest-remainder method. Returns one row per
+    group: ``(group_col, weight, quota)`` with ``Σ quota == budget``
+    exactly (when total weight > 0).
+
+    This is the planning step a frontier scheduler runs each round at
+    web scale: the combiner-count pass is the only distributed work
+    (partial per-batch group sums → one small groupby), the
+    apportionment itself folds in a single Ray task over #hosts rows,
+    and the result never touches the driver."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    return ray.data.from_arrow_refs(
+        [_quota_table_ref(ds, group_col, budget, weight_col)]
+    )
+
+
+def budget_select(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    weight_col: str | None = None,
+    seed: int = 17,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Materialize the crawl plan :func:`apportion_budget` implies:
+    from each group keep its quota's worth of rows — the ``quota_g``
+    smallest ``md5(seed:key)`` values (ties by key ascending), i.e. a
+    deterministic uniform draw of exactly ``min(quota_g, |g|)`` rows
+    per group. Same stability guarantees as :func:`bottom_k_sample`,
+    applied per group with data-derived k.
+
+    Shape: the quota table folds from combiner counts (no corpus
+    shuffle), broadcasts by ObjectRef, and the selection is ONE
+    bucketed shuffle (coarse ``__bkt`` of the group key, never a
+    groupby on raw corpus-cardinality keys) with a vectorized
+    sort + cumcount cap inside each partition — the
+    :func:`cap_per_group` pattern with per-group k."""
+    import ray
+
+    from . import bucket_of
+
+    quota_ref = _quota_table_ref(ds, group_col, budget, weight_col)
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _key_hash(df[key_col], seed)
+        df["__bkt"] = bucket_of(df[group_col], n_buckets)
+        return df
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        drop = ["__h", "__bkt"]
+        if not len(g):
+            return g.drop(columns=drop)
+        t = ray.get(quota_ref)
+        quota = dict(zip(t.column(group_col).to_pylist(),
+                         t.column("quota").to_pylist()))
+        g = g.sort_values([group_col, "__h", key_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy()
+        # per-UNIQUE-group quota lookup, vectorized back out via codes
+        codes, uniques = pd.factorize(g[group_col], sort=False)
+        q_u = np.fromiter((quota.get(u, 0) for u in uniques),
+                          dtype=np.int64, count=len(uniques))
+        return g.loc[rank < q_u[codes]].drop(columns=drop)
+
+    return (ds.map_batches(add_keys, batch_format="pandas")
+            .groupby("__bkt").map_groups(cap, batch_format="pandas"))
+
+
 def bottom_k_sample(
     ds: ray.data.Dataset,
     key_col: str,
