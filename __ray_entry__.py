@@ -1197,6 +1197,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return budget_select(ds, "source", "doc_id", budget=137,
                              weight_col="n_chars", seed=17)
 
+    def q_cdx_index(sf_dir: str):
+        # CDX(J) index source (sources/cdx.py): deterministic index
+        # shards synthesized from the documents table (url/surt/ts/
+        # md5-digest per doc), written as sorted gzipped CDXJ, read
+        # back through the Ray reader; the oracle regenerates the
+        # whole table from documents in SQL — a hash-checked
+        # round-trip through the on-disk format
+        import hashlib as _hl
+
+        from web_scraper_ray.sources.cdx import (
+            read_cdx,
+            synthesize_cdx_shards,
+        )
+
+        doc = f"{sf_dir}/documents.parquet"
+        tag = _hl.md5(doc.encode()).hexdigest()[:12]
+        paths = synthesize_cdx_shards(doc, f"/tmp/wsr_cdx_{tag}",
+                                      n_shards=4)
+        return read_cdx(paths)
+
+    def q_cdx_host_lookup(sf_dir: str):
+        # the access pattern the SURT sort order exists for: one
+        # host's captures as a contiguous key-prefix range
+        import hashlib as _hl
+
+        import pyarrow.compute as pc
+
+        from web_scraper_ray.sources.cdx import (
+            read_cdx,
+            synthesize_cdx_shards,
+        )
+
+        doc = f"{sf_dir}/documents.parquet"
+        tag = _hl.md5(doc.encode()).hexdigest()[:12]
+        paths = synthesize_cdx_shards(doc, f"/tmp/wsr_cdx_{tag}",
+                                      n_shards=4)
+
+        def host_range(t):
+            return t.filter(
+                pc.starts_with(t["surt"], "com,example,src3)"))
+
+        return read_cdx(paths).map_batches(
+            host_range, batch_format="pyarrow")
+
     def q_rebalance_mix(sf_dir: str):
         # measured-counts domain rebalancing (DoReMi-lite,
         # ops/sampling.py:rebalance_sample): every source downsampled
@@ -1427,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottom_k_docs": q_bottom_k_docs,
         "crawl_budget": q_crawl_budget,
         "budget_plan": q_budget_plan,
+        "cdx_index": q_cdx_index,
+        "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
     }
 
@@ -3354,6 +3400,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT rk.doc_id, rk.source, rk.n_chars
             FROM rk JOIN q ON rk.source = q.source
             WHERE rk.rn <= q.quota
+        """,
+        # CDX(J) index round-trip (sources/cdx.py): the Ray side
+        # writes sorted CDXJ shards derived from documents and reads
+        # them back; the oracle regenerates the identical table
+        # directly in SQL — hash-equal means writer, parser and reader
+        # are lossless for every field
+        "cdx_index": """
+            SELECT 'com,example,' || source || ')/doc/' || doc_id AS surt,
+                   TIMESTAMP '2025-03-28 00:00:00'
+                       + to_seconds(doc_id) AS fetch_ts,
+                   'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   200::BIGINT AS status,
+                   md5(COALESCE(text, '')) AS digest,
+                   n_chars AS length,
+                   'crawl-' || lpad((doc_id % 4)::VARCHAR, 2, '0')
+                       || '.warc.gz' AS warc_path,
+                   512 * doc_id AS warc_offset
+            FROM documents
+        """,
+        # one host's captures as a SURT key-prefix range
+        "cdx_host_lookup": """
+            SELECT 'com,example,' || source || ')/doc/' || doc_id AS surt,
+                   TIMESTAMP '2025-03-28 00:00:00'
+                       + to_seconds(doc_id) AS fetch_ts,
+                   'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   200::BIGINT AS status,
+                   md5(COALESCE(text, '')) AS digest,
+                   n_chars AS length,
+                   'crawl-' || lpad((doc_id % 4)::VARCHAR, 2, '0')
+                       || '.warc.gz' AS warc_path,
+                   512 * doc_id AS warc_offset
+            FROM documents
+            WHERE source = 'src3'
         """,
         # measured-counts rebalancing (ops/sampling.py): thresholds
         # floor(share_num * N * 2^64 / (share_den * c)) in exact
