@@ -104,6 +104,46 @@ def _hll_ctes(val_expr: str, from_clause: str) -> str:
             )"""
 
 
+def _hll_group_ctes(val_expr: str, group_expr: str, from_clause: str) -> str:
+    """Per-group variant of :func:`_hll_ctes` (same register and
+    estimator arithmetic, every CTE keyed by ``grp``). Ends with
+    ``est0(grp, nnz, raw)``; callers apply ``_HLL_EST_CASE``."""
+    return f"""h AS (
+                SELECT {group_expr} AS grp,
+                       ('0x' || substr(md5(CAST({val_expr} AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM {from_clause}
+            ),
+            reg AS (
+                SELECT grp, CAST(h >> 54 AS BIGINT) AS idx,
+                       MAX(CASE WHEN (h & 18014398509481983::UBIGINT)
+                                     = 0 THEN 55
+                                ELSE 55 - length(bin(
+                                    (h & 18014398509481983::UBIGINT)
+                                        ::BIGINT))
+                           END) AS r
+                FROM h GROUP BY grp, idx
+            ),
+            agg AS (
+                SELECT grp, count(*)::BIGINT AS nnz,
+                       COALESCE(sum(18446744073709551616::HUGEINT
+                                    // (1::UBIGINT << r)),
+                                0::HUGEINT) AS s_live
+                FROM reg GROUP BY grp
+            ),
+            est0 AS (
+                SELECT grp, nnz,
+                       (720541::HUGEINT * 1024 * 1024
+                        * 18446744073709551616::HUGEINT)
+                       // (1000000::HUGEINT
+                           * (s_live
+                              + (1024 - nnz)::HUGEINT
+                                * 18446744073709551616::HUGEINT))
+                           AS raw
+                FROM agg
+            )"""
+
+
 #: the estimator CASE applied to _hll_ctes' est0 (linear counting on
 #: the small-range branch; the bm25 one-division + libm-ln discipline)
 _HLL_EST_CASE = """CASE WHEN raw <= 2560 AND nnz < 1024
@@ -821,6 +861,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ds, "event_id")
 
+    def q_users_per_event_type(sf_dir: str):
+        # grouped HyperLogLog (ops/sketch.py:approx_distinct_by):
+        # count(distinct user_id) per event_type at constant per-group
+        # register state; the whole per-group estimator replays
+        # bit-exactly in SQL
+        from web_scraper_ray.ops.sketch import approx_distinct_by
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        )
+        return approx_distinct_by(ds, "user_id", "event_type")
+
     def q_corpus_diff(sf_dir: str):
         # recrawl snapshot diff (ops/diff.py): new = documents with
         # deterministic removals (%7), edits (%10) and additions
@@ -1441,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
+        "users_per_event_type": q_users_per_event_type,
         "cms_token_counts": q_cms_token_counts,
         "bloom_candidates": q_bloom_candidates,
         "corpus_profile": q_corpus_profile,
@@ -2913,6 +2967,15 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_events": f"""
             WITH {_hll_ctes("event_id", "events")}
             SELECT {_HLL_EST_CASE} AS n_distinct_est,
+                   nnz AS n_registers_hit
+            FROM est0
+        """,
+        # grouped HyperLogLog (ops/sketch.py:approx_distinct_by): the
+        # same register/estimator replay, keyed by event_type
+        "users_per_event_type": f"""
+            WITH {_hll_group_ctes("user_id", "event_type", "events")}
+            SELECT grp AS event_type,
+                   {_HLL_EST_CASE} AS n_distinct_est,
                    nnz AS n_registers_hit
             FROM est0
         """,

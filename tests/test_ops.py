@@ -1502,6 +1502,34 @@ def test_cms_one_sided_guarantee(ray_session):
     assert est["nope"] <= 450  # only collision noise
 
 
+def test_approx_distinct_by_groups(ray_session):
+    """Grouped HLL: per-group estimates land within the sketch's error
+    envelope, groups don't contaminate each other, and the grouped
+    estimator agrees exactly with the global one run per group."""
+    import ray.data
+
+    from web_scraper_ray.ops.sketch import approx_distinct, approx_distinct_by
+
+    rows = ([{"k": i % 40, "g": "small"} for i in range(400)]
+            + [{"k": 10_000 + (i % 2500), "g": "big"} for i in range(5000)])
+    ds = ray.data.from_items(rows)
+    out = (approx_distinct_by(ds, "k", "g").to_pandas()
+           .set_index("g").sort_index())
+    assert abs(out.loc["small", "n_distinct_est"] - 40) <= 40 * 0.15
+    assert abs(out.loc["big", "n_distinct_est"] - 2500) <= 2500 * 0.15
+    # exact agreement with the global sketch applied to each group
+    for g, n in (("small", 400), ("big", 5400)):
+        sub = ray.data.from_items([r for r in rows if r["g"] == g])
+        glob = approx_distinct(sub, "k").to_pandas()
+        assert glob.loc[0, "n_distinct_est"] == out.loc[g, "n_distinct_est"]
+        assert glob.loc[0, "n_registers_hit"] == out.loc[g, "n_registers_hit"]
+    # empty input: zero groups, stable schema
+    empty = approx_distinct_by(
+        ray.data.from_items([{"k": 1, "g": "x"}]).filter(lambda r: False),
+        "k", "g").to_pandas()
+    assert len(empty) == 0  # (Ray drops the schema of empty pandas blocks)
+
+
 def test_bloom_no_false_negatives(ray_session):
     """Every true member passes the Bloom pre-filter; the false
     positive rate on non-members stays near the analytic bound."""

@@ -42,7 +42,8 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["approx_distinct", "cms_point_estimates", "bloom_candidates",
+__all__ = ["approx_distinct", "approx_distinct_by",
+           "cms_point_estimates", "bloom_candidates",
            "HLL_P", "HLL_M", "ALPHA_E6", "CMS_W", "CMS_D",
            "BLOOM_BITS", "BLOOM_K"]
 
@@ -62,27 +63,32 @@ def _hash64(vals) -> np.ndarray:
     )
 
 
+def _ranks(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Register index + rank per uint64 hash.
+
+    rank = leading-zero count of the low 54 bits + 1
+         = 55 - bit_length(rest); rest == 0 -> 55.
+    bit_length via np.frexp's exponent: EXACT for any integer that
+    float64 represents exactly (< 2^53; np.log2 is NOT — it rounds
+    up to k for values just under 2^k). The >= 2^53 tail (where the
+    int->float conversion itself rounds) falls back to Python ints."""
+    idx = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+    rest = (h & np.uint64(_REST_MASK)).astype(np.int64)
+    blen = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+    hi = rest >= (1 << 53)
+    if hi.any():
+        blen[hi] = np.fromiter((int(v).bit_length()
+                                for v in rest[hi]), dtype=np.int64)
+    return idx, (_REST_BITS + 1) - blen
+
+
 def _partials(df: pd.DataFrame, col: str) -> pd.DataFrame:
     """Per-batch register maxima: <= m rows out, whatever comes in."""
     if not len(df):
         return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
                              "idx": pd.Series([], dtype="int64"),
                              "r": pd.Series([], dtype="int64")})
-    h = _hash64(df[col])
-    idx = (h >> np.uint64(_REST_BITS)).astype(np.int64)
-    rest = (h & np.uint64(_REST_MASK)).astype(np.int64)
-    # rank = leading-zero count of the low 54 bits + 1
-    #      = 55 - bit_length(rest); rest == 0 -> 55.
-    # bit_length via np.frexp's exponent: EXACT for any integer that
-    # float64 represents exactly (< 2^53; np.log2 is NOT — it rounds
-    # up to k for values just under 2^k). The >= 2^53 tail (where the
-    # int->float conversion itself rounds) falls back to Python ints.
-    blen = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
-    hi = rest >= (1 << 53)
-    if hi.any():
-        blen[hi] = np.fromiter((int(v).bit_length()
-                                for v in rest[hi]), dtype=np.int64)
-    r = (_REST_BITS + 1) - blen
+    idx, r = _ranks(_hash64(df[col]))
     regs = np.zeros(HLL_M, dtype=np.int64)
     np.maximum.at(regs, idx, r)
     live = np.nonzero(regs)[0]
@@ -132,6 +138,88 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
               .map_groups(_fold_bucket, batch_format="pandas"))
     ref = _estimate.remote(*folded.to_arrow_refs())
     return ray.data.from_pandas_refs([ref])
+
+
+def _estimate_one(regs_r: np.ndarray) -> int:
+    """Exact-integer HLL estimate from a group's LIVE register ranks
+    (same arithmetic as the global estimator; zero registers
+    contribute 2^64 each to the harmonic sum)."""
+    nnz = len(regs_r)
+    zeros = HLL_M - nnz
+    s_prime = (sum((1 << (64 - int(r))) for r in regs_r)
+               + zeros * (1 << 64))
+    est = (ALPHA_E6 * HLL_M * HLL_M * (1 << 64)) // (1_000_000 * s_prime)
+    if est <= (5 * HLL_M) // 2 and zeros > 0:
+        est = int(math.floor(HLL_M * math.log(HLL_M / zeros)))
+    return est
+
+
+def approx_distinct_by(
+    ds: ray.data.Dataset, col: str, group_col: str,
+) -> ray.data.Dataset:
+    """Per-group HyperLogLog: one row ``(group_col, n_distinct_est,
+    n_registers_hit)`` per group — ``count(distinct col) GROUP BY
+    group_col`` at constant per-group state (the per-source /
+    per-event-type distinct-user profile of a corpus whose raw key
+    sets would be a shuffle).
+
+    Shape: per-batch (group, idx) register maxima — at most
+    ``groups_in_batch × m`` rows out of any batch (the combiner) —
+    shuffled on a coarse 64-way bucket of (group, idx) so one hot
+    group cannot pin a partition, elementwise max inside each bucket,
+    and one estimator task over ``#groups × m`` rows. Group
+    cardinality is assumed small (event types, sources, languages);
+    the registers themselves never exceed a few KiB per group."""
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                                 "grp": pd.Series([], dtype="object"),
+                                 "idx": pd.Series([], dtype="int64"),
+                                 "r": pd.Series([], dtype="int64")})
+        idx, r = _ranks(_hash64(df[col]))
+        tot = (pd.DataFrame({"grp": df[group_col].to_numpy(),
+                             "idx": idx, "r": r})
+               .groupby(["grp", "idx"], sort=False)["r"].max()
+               .reset_index())
+        gh = (pd.util.hash_array(tot["grp"].to_numpy(dtype=object))
+              % np.uint64(64)).astype(np.int64)
+        tot.insert(0, "cbkt", (gh + tot["idx"]) % 64)
+        return tot
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["grp", "idx"], sort=False)["r"].max()
+        return pd.DataFrame({
+            "grp": tot.index.get_level_values(0).to_numpy(),
+            "idx": tot.index.get_level_values(1).to_numpy(),
+            "r": tot.to_numpy().astype("int64"),
+        })
+
+    folded = (ds.select_columns([col, group_col])
+              .map_batches(partials, batch_format="pandas")
+              .groupby("cbkt")
+              .map_groups(fold, batch_format="pandas"))
+
+    @ray.remote(num_cpus=0)
+    def estimate(*tables) -> pd.DataFrame:
+        import pyarrow as pa
+
+        live = [t for t in tables if t.num_rows]
+        grps, ests, nnzs = [], [], []
+        if live:
+            df = pa.concat_tables(live).to_pandas()
+            tot = df.groupby(["grp", "idx"], sort=False)["r"].max()
+            for grp in sorted(tot.index.get_level_values(0).unique()):
+                sub = tot.xs(grp, level=0).to_numpy()
+                grps.append(grp)
+                ests.append(_estimate_one(sub))
+                nnzs.append(len(sub))
+        return pd.DataFrame({
+            group_col: pd.Series(grps, dtype="object"),
+            "n_distinct_est": pd.Series(ests, dtype="int64"),
+            "n_registers_hit": pd.Series(nnzs, dtype="int64"),
+        })
+
+    return ray.data.from_pandas_refs([estimate.remote(*folded.to_arrow_refs())])
 
 
 # ---------------------------------------------------------------------------
