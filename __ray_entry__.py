@@ -540,6 +540,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb_nonself(sf_dir), _query_vec(sf_dir), k=10, extra_cols=("label",)
         ).select_columns(["vec_id", "label"])
 
+    def q_quantized_topk(sf_dir: str):
+        # int8-quantized inner-product retrieval (ops/similarity.py:
+        # quantized_topk): integer scores — totally ordered, replayed
+        # exactly in SQL (floor(x*127/max|x|+0.5) codes + integer dot)
+        from web_scraper_ray.ops.similarity import quantized_topk
+
+        return quantized_topk(
+            _emb_nonself(sf_dir), _query_vec(sf_dir), k=10,
+            extra_cols=("label",),
+        ).select_columns(["vec_id", "label", "qscore"])
+
     def q_knn_label_hist(sf_dir: str):
         from ray.data.aggregate import Count
         from web_scraper_ray.ops.similarity import brute_force_topk
@@ -1466,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_v2": q_training_corpus_v2,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
+        "quantized_topk": q_quantized_topk,
         "knn_label_hist": q_knn_label_hist,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exhaustive": q_minhash_exhaustive,
@@ -3557,6 +3569,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
+        """,
+        # int8-quantized MIPS (ops/similarity.py:quantized_topk):
+        # identical quantization expression and exact-integer scores
+        # (products <= 127^2 * dim < 2^53, so the DOUBLE inner
+        # product is exact before the BIGINT cast)
+        "quantized_topk": """
+            WITH qv AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id = 0
+            ),
+            qq AS (
+                SELECT list_transform(
+                           e, x -> CAST(floor(x * 127.0 / m + 0.5)
+                                        AS BIGINT)) AS q
+                FROM (SELECT e, CASE WHEN mm = 0 THEN 1.0 ELSE mm END AS m
+                      FROM (SELECT e,
+                                   list_aggregate(
+                                       list_transform(e, x -> abs(x)),
+                                       'max') AS mm
+                            FROM qv))
+            ),
+            ce AS (
+                SELECT vec_id, label,
+                       list_transform(
+                           e, x -> CAST(floor(x * 127.0 / m + 0.5)
+                                        AS BIGINT)) AS qe
+                FROM (SELECT vec_id, label, e,
+                             CASE WHEN mm = 0 THEN 1.0 ELSE mm END AS m
+                      FROM (SELECT vec_id, label,
+                                   CAST(embedding AS DOUBLE[]) AS e,
+                                   list_aggregate(
+                                       list_transform(
+                                           CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)),
+                                       'max') AS mm
+                            FROM embeddings WHERE vec_id <> 0))
+            )
+            SELECT vec_id, label,
+                   CAST(list_inner_product(CAST(qe AS DOUBLE[]),
+                                           CAST(q AS DOUBLE[]))
+                        AS BIGINT) AS qscore
+            FROM ce, qq
+            ORDER BY qscore DESC, vec_id
             LIMIT 10
         """,
         "knn_label_hist": """

@@ -128,6 +128,43 @@ def test_ivf_topk_recall(ray_session, sf_dir):
     assert len(exact & approx) >= 5
 
 
+def test_quantized_topk(ray_session, sf_dir):
+    """int8-quantized MIPS: codes hit the documented formula exactly,
+    scores match a numpy integer replay, results are partitioning-
+    stable, and retrieval overlaps the exact-cosine baseline."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from web_scraper_ray.ops.similarity import (
+        brute_force_topk,
+        quantize_i8,
+        quantized_topk,
+    )
+
+    # code formula: floor(x*127/max|x| + 0.5); all-zero rows stay zero
+    codes = quantize_i8(np.array([[1.0, -0.5, 0.25], [0.0, 0.0, 0.0]]))
+    assert codes.tolist() == [[127, -63, 32], [0, 0, 0]]
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(tbl["vec_id"].to_pylist())
+    q = quantize_i8(mat[0:1])
+    score = (quantize_i8(mat) @ q.T).ravel()
+    expect = list(zip(
+        ids[np.lexsort((ids, -score))][:10].tolist(),
+        np.sort(score)[::-1][:10].tolist(),
+    ))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for parts in (None, 9):
+        d = ds if parts is None else ds.repartition(parts)
+        got = quantized_topk(d, mat[0], k=10).to_pandas()
+        assert list(zip(got["vec_id"], got["qscore"])) == expect
+    # quantized ranking stays close to the exact-cosine baseline
+    exact = set(brute_force_topk(ds, mat[0], k=10).to_pandas()["vec_id"])
+    assert len(exact & set(got["vec_id"])) >= 7
+
+
 def test_text_stats_reference_values(ray_session):
     import ray.data
     from web_scraper_ray.ops.text import text_stats_batch
