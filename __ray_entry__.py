@@ -374,6 +374,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.map_batches(token_pieces_batch, batch_format="pandas")
 
+    def q_chunk_docs(sf_dir: str):
+        # strided token-window chunking (ops/text.py:chunk_documents):
+        # window 32 / stride 24 (8-token overlap), ASCII-whitespace
+        # tokens, chunks re-joined with single spaces
+        from web_scraper_ray.ops.text import chunk_documents
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return chunk_documents(ds, window=32, stride=24)
+
     def q_hash_sample(sf_dir: str):
         from web_scraper_ray.ops.sampling import hash_sample
 
@@ -1463,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
         "token_pieces": q_token_pieces,
+        "chunk_docs": q_chunk_docs,
         "hash_sample": q_hash_sample,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
@@ -3183,6 +3195,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
                    CAST(length(text) // 4 AS BIGINT) AS est_tokens
             FROM documents
+        """,
+        # strided token-window chunking (ops/text.py:chunk_documents):
+        # 1-based inclusive list slices t[s : s+window-1] replay the
+        # Python [s, s+window) windows; whitespace-only docs emit none
+        "chunk_docs": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t), 24)) AS s
+                FROM tk
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+                   len(t[s:s + 31])::BIGINT AS n_tokens,
+                   array_to_string(t[s:s + 31], ' ') AS chunk_text
+            FROM st
         """,
         # deterministic md5-hash sampling / splitting (ops/sampling.py):
         # the same (seed, key) → uint64 decisions replayed in SQL

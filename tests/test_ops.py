@@ -165,6 +165,46 @@ def test_quantized_topk(ray_session, sf_dir):
     assert len(exact & set(got["vec_id"])) >= 7
 
 
+def test_chunk_documents_windows(ray_session):
+    """Strided chunking: window/stride arithmetic, whitespace
+    normalization inside chunks, empty docs emit nothing, and the
+    dataset path equals the batch kernel at any partitioning."""
+    import ray.data
+
+    from web_scraper_ray.ops.text import chunk_documents, chunk_documents_batch
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            " ".join(f"t{i}" for i in range(10)),  # 10 tokens
+            "a  b\t\nc",                            # ws runs collapse
+            "",                                      # no chunks
+            "solo",                                  # one short chunk
+        ],
+    })
+    out = chunk_documents_batch(docs, window=4, stride=3)
+    got = out[out["doc_id"] == 0]
+    # starts 0,3,6,9 -> lengths 4,4,4,1
+    assert list(got["chunk_id"]) == [0, 1, 2, 3]
+    assert list(got["n_tokens"]) == [4, 4, 4, 1]
+    assert got["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert got["chunk_text"].iloc[3] == "t9"
+    assert list(out[out["doc_id"] == 1]["chunk_text"]) == ["a b c"]
+    assert (out["doc_id"] == 2).sum() == 0
+    assert list(out[out["doc_id"] == 3]["n_tokens"]) == [1]
+
+    for parts in (None, 3):
+        ds = ray.data.from_pandas(docs)
+        if parts:
+            ds = ds.repartition(parts)
+        dd = (chunk_documents(ds, window=4, stride=3).to_pandas()
+              .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(dd, out.reset_index(drop=True))
+
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_pandas(docs), window=0)
+
+
 def test_text_stats_reference_values(ray_session):
     import ray.data
     from web_scraper_ray.ops.text import text_stats_batch

@@ -511,3 +511,49 @@ def normalize_text(ds, text_col: str = "text") -> "ray.data.Dataset":
         lambda df: normalize_text_batch(df, text_col),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed-token windows, strided overlap)
+
+def chunk_documents_batch(df: pd.DataFrame, window: int, stride: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> pd.DataFrame:
+    """Explode each document into token windows ``[s, s+window)`` for
+    ``s = 0, stride, 2*stride, …`` while ``s < n_tokens`` — the
+    chunking step of a RAG/embedding pipeline (overlap = ``window -
+    stride``). Tokens are ASCII-whitespace-delimited (the repo's RE2-
+    parity class) and chunk text is re-joined with single spaces, so
+    whitespace runs normalize; empty/whitespace-only docs emit no
+    chunks. Output rows: (id, chunk_id, n_tokens, chunk_text)."""
+    ids, cids, ns, texts = [], [], [], []
+    for i, t in zip(df[id_col], df[text_col]):
+        toks = [x for x in _ASCII_WS_RE.split(t or "") if x]
+        for c, s in enumerate(range(0, len(toks), stride)):
+            w = toks[s:s + window]
+            ids.append(i)
+            cids.append(c)
+            ns.append(len(w))
+            texts.append(" ".join(w))
+    return pd.DataFrame({
+        id_col: pd.Series(ids, dtype=df[id_col].dtype),
+        "chunk_id": pd.Series(cids, dtype="int64"),
+        "n_tokens": pd.Series(ns, dtype="int64"),
+        "chunk_text": pd.Series(texts, dtype="object"),
+    })
+
+
+def chunk_documents(ds: "ray.data.Dataset", window: int = 32,
+                    stride: int = 24, id_col: str = "doc_id",
+                    text_col: str = "text") -> "ray.data.Dataset":
+    """Dataset-level chunking: a pure exploding ``map_batches`` — no
+    shuffle, no state; output size is bounded by ``ceil(n/stride)``
+    rows per doc, so block sizes stay proportional to input blocks."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, "
+                         f"got {window}/{stride}")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return chunk_documents_batch(df, window, stride, id_col, text_col)
+
+    return ds.map_batches(explode, batch_format="pandas")
