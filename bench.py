@@ -257,6 +257,20 @@ def run_bench() -> dict:
         surprisal_filter(docs8, target, max_mean_bits_e2=413).count()
         queries["lm_filter"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        from web_scraper_ray.ops.similarity import quantized_topk
+
+        quantized_topk(emb, q, k=10).to_pandas()
+        queries["quantized_topk"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.text import chunk_documents
+
+        docs9 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        chunk_documents(docs9, window=32, stride=24).count()
+        queries["chunk_docs"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",
