@@ -385,6 +385,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return chunk_documents(ds, window=32, stride=24)
 
+    def q_chunk_dedup(sf_dir: str):
+        # RAG-prep composite: strided chunking → exact content dedup
+        # of the chunk table (min composite key wins — the chunk_key
+        # packs (doc_id, chunk_id) into one int64, valid while docs
+        # stay under 2^20 chunks). Both pieces are already oracled;
+        # this pins their composition.
+        import pandas as pd
+
+        from web_scraper_ray.ops.dedup import exact_dedup
+        from web_scraper_ray.ops.text import chunk_documents
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def with_key(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["chunk_key"] = df["doc_id"] * 1_048_576 + df["chunk_id"]
+            return df
+
+        chunks = (chunk_documents(ds, window=32, stride=24)
+                  .map_batches(with_key, batch_format="pandas"))
+        return exact_dedup(
+            chunks, text_col="chunk_text", id_col="chunk_key"
+        ).drop_columns(["chunk_key"])
+
     def q_hash_sample(sf_dir: str):
         from web_scraper_ray.ops.sampling import hash_sample
 
@@ -1475,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_pieces": q_token_pieces,
         "chunk_docs": q_chunk_docs,
+        "chunk_dedup": q_chunk_dedup,
         "hash_sample": q_hash_sample,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
@@ -3216,6 +3243,37 @@ def oracle_sql() -> dict[str, str]:
                    len(t[s:s + 31])::BIGINT AS n_tokens,
                    array_to_string(t[s:s + 31], ' ') AS chunk_text
             FROM st
+        """,
+        # chunking → exact chunk dedup composite: min packed
+        # (doc_id, chunk_id) key wins per identical chunk_text
+        "chunk_dedup": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t), 24)) AS s
+                FROM tk
+            ),
+            ch AS (
+                SELECT doc_id,
+                       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+                       len(t[s:s + 31])::BIGINT AS n_tokens,
+                       array_to_string(t[s:s + 31], ' ') AS chunk_text
+                FROM st
+            ),
+            win AS (
+                SELECT doc_id, chunk_id, n_tokens, chunk_text,
+                       row_number() OVER (
+                           PARTITION BY md5(chunk_text)
+                           ORDER BY doc_id * 1048576 + chunk_id) AS rn
+                FROM ch
+            )
+            SELECT doc_id, chunk_id, n_tokens, chunk_text
+            FROM win WHERE rn = 1
         """,
         # deterministic md5-hash sampling / splitting (ops/sampling.py):
         # the same (seed, key) → uint64 decisions replayed in SQL
