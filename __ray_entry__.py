@@ -884,6 +884,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return surprisal_scores(ds, _lm_target(sf_dir))
 
+    def q_bigram_surprisal(sf_dir: str):
+        # bigram LM with unigram backoff (ops/lm.py:
+        # bigram_surprisal_scores): same whole-bit integer discipline,
+        # one conditioning order up from lm_surprisal
+        from web_scraper_ray.ops.lm import bigram_surprisal_scores
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return bigram_surprisal_scores(ds, _lm_target(sf_dir))
+
     def q_lm_filter(sf_dir: str):
         # CCNet "head" selection: keep docs within 4.13 bits/token of
         # the target LM (the sf0.001 median — a nontrivial split)
@@ -1541,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
+        "bigram_surprisal": q_bigram_surprisal,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
@@ -3010,6 +3022,64 @@ def oracle_sql() -> dict[str, str]:
                    (100 * sum(bits)::BIGINT) // count(*)::BIGINT
                        AS mean_bits_e2
             FROM b GROUP BY doc_id
+        """,
+        # bigram LM with unigram backoff (ops/lm.py): conditional
+        # whole-bit surprisal bitlen((c_prev+1)//(c_bi+1))-1, backoff
+        # to the unigram formula at doc starts and OOV contexts
+        "bigram_surprisal": """
+            WITH ttk AS (
+                SELECT regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS t
+                FROM documents WHERE lang = 'en'
+            ),
+            uni AS (SELECT unnest(t) AS tok FROM ttk),
+            ucnt AS (SELECT tok, count(*)::BIGINT AS c
+                     FROM uni GROUP BY tok),
+            tot AS (SELECT count(*)::BIGINT AS tt FROM uni),
+            bi AS (
+                SELECT t[p] AS p1, t[p + 1] AS p2
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1))
+                                 AS p
+                      FROM ttk)
+            ),
+            bcnt AS (SELECT p1, p2, count(*)::BIGINT AS c
+                     FROM bi GROUP BY p1, p2),
+            dtk AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS p
+                    FROM dtk WHERE len(t) > 0),
+            tp AS (SELECT doc_id, t[p] AS tok,
+                          CASE WHEN p > 1 THEN t[p - 1] END AS prev
+                   FROM pos),
+            bits AS (
+                SELECT tp.doc_id,
+                       CASE WHEN tp.prev IS NULL OR COALESCE(u2.c, 0) = 0
+                            THEN CASE WHEN u1.c IS NULL
+                                      THEN greatest(length(bin(tt)) - 1,
+                                                    0)
+                                      ELSE greatest(length(bin(
+                                               tt // (u1.c + 1))) - 1, 0)
+                                 END
+                            ELSE greatest(length(bin(
+                                     (u2.c + 1)
+                                     // (COALESCE(b.c, 0) + 1))) - 1, 0)
+                       END AS bit
+                FROM tp
+                LEFT JOIN ucnt u1 ON u1.tok = tp.tok
+                LEFT JOIN ucnt u2 ON u2.tok = tp.prev
+                LEFT JOIN bcnt b ON b.p1 = tp.prev AND b.p2 = tp.tok,
+                tot
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(bit)::BIGINT AS total_bits,
+                   (100 * sum(bit)::BIGINT) // count(*)::BIGINT
+                       AS mean_bits_e2
+            FROM bits GROUP BY doc_id
         """,
         # HyperLogLog sketch (ops/sketch.py): md5-upper-half hash,
         # 10-bit register index, integer rank/harmonic arithmetic,

@@ -65,7 +65,7 @@ import ray.data
 from web_scraper_ray.ops.decontam import _TOKEN_RE
 
 __all__ = ["surprisal_scores", "surprisal_filter", "surprisal_buckets",
-           "bpe_merge_counts"]
+           "bigram_surprisal_scores", "bpe_merge_counts"]
 
 
 def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -313,3 +313,159 @@ def surprisal_buckets(
                              "bucket": bucket})
 
     return scored.map_batches(label, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with unigram backoff — one conditioning order up from the
+# CCNet-style unigram score (context makes the "looks like the target"
+# signal sharper: a document of common-but-shuffled words scores low
+# under a unigram LM and high here)
+
+
+def _pair_count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Per-batch adjacent-pair occurrence counts, coarse-bucketed —
+    one row per (pair, batch) moves, never one per occurrence (the
+    ``bpe_merge_counts`` shape, kept as full counts)."""
+    p1s, p2s = [], []
+    for t in df[text_col].fillna(""):
+        toks = _TOKEN_RE.findall(t)
+        p1s.extend(toks[:-1])
+        p2s.extend(toks[1:])
+    if not p1s:
+        return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                             "p1": pd.Series([], dtype="object"),
+                             "p2": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    cnt = (pd.DataFrame({"p1": p1s, "p2": p2s})
+           .groupby(["p1", "p2"], sort=False).size())
+    p1 = cnt.index.get_level_values(0).to_numpy()
+    p2 = cnt.index.get_level_values(1).to_numpy()
+    cbkt = np.fromiter(
+        (hashlib.md5(f"{a}\x00{b}".encode("utf-8")).digest()[0] & 63
+         for a, b in zip(p1, p2)),
+        dtype=np.int64, count=len(p1),
+    )
+    return pd.DataFrame({"cbkt": cbkt, "p1": p1, "p2": p2,
+                         "n": cnt.to_numpy().astype("int64")})
+
+
+def _fold_pair_partition(g: pd.DataFrame) -> pd.DataFrame:
+    tot = g.groupby(["p1", "p2"], sort=False)["n"].sum()
+    return pd.DataFrame({
+        "p1": tot.index.get_level_values(0).to_numpy(),
+        "p2": tot.index.get_level_values(1).to_numpy(),
+        "n": tot.to_numpy().astype("int64"),
+    })
+
+
+@ray.remote(num_cpus=0)
+def _fold_bigram_model(n_uni: int, *tables) -> tuple[dict, dict, int]:
+    """Fold (unigram tables..., bigram tables...) into the broadcast
+    model ``(uni_counts, bi_counts, T)``. Runs as a task — the driver
+    never holds either vocabulary. The target domain is small by
+    design (CCNet trains on curated text); at open-vocabulary scale
+    shard both dicts by token hash and bucket-join (the documented
+    ``tfidf_topk`` trade)."""
+    import pyarrow as pa
+
+    uni_tabs = [t for t in tables[:n_uni] if t.num_rows]
+    bi_tabs = [t for t in tables[n_uni:] if t.num_rows]
+    if not uni_tabs:
+        raise ValueError("target corpus has no tokens")
+    u = pa.concat_tables(uni_tabs)
+    uni = dict(zip(u.column("token").to_pylist(),
+                   (int(x) for x in u.column("n").to_pylist())))
+    bi: dict = {}
+    if bi_tabs:
+        b = pa.concat_tables(bi_tabs)
+        bi = {(a, c): int(n) for a, c, n in zip(
+            b.column("p1").to_pylist(), b.column("p2").to_pylist(),
+            b.column("n").to_pylist())}
+    return uni, bi, sum(uni.values())
+
+
+def _bitlen_pos(arr: np.ndarray) -> np.ndarray:
+    """bit_length of non-negative int64 values < 2^53 (token counts —
+    far below): frexp's exponent is EXACT there (the sketch-module
+    discipline); 0 maps to 0."""
+    return np.frexp(arr.astype(np.float64))[1].astype(np.int64)
+
+
+def bigram_surprisal_scores(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Score every document against a BIGRAM LM of ``target`` with
+    unigram backoff, in the module's whole-bit integer discipline::
+
+        bits(t_i | t_{i-1}) =
+          unigram bits of t_i                 if i == 0 or t_{i-1} is OOV
+          max(bitlen((c_uni(t_{i-1}) + 1)
+                     // (c_bi(t_{i-1}, t_i) + 1)) - 1, 0)   otherwise
+
+    (add-one smoothing; a seen-context/unseen-pair token costs
+    ``~log2(c_prev)`` bits — the context's full evidence against it).
+    Rows ``(id, n_tokens, total_bits, mean_bits_e2)``; zero-token docs
+    dropped. Same two-pass shape as :func:`surprisal_scores` — the
+    target folds to one broadcast model, scoring is a pure scan — with
+    a second (pair-count) combiner pass over the target. Oracle:
+    ``oracle_sql()['bigram_surprisal']``."""
+    uni_folded = (
+        target.select_columns([text_col])
+        .map_batches(lambda df: _count_partials(df, text_col),
+                     batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(_fold_partition, batch_format="pandas")
+    )
+    bi_folded = (
+        target.select_columns([text_col])
+        .map_batches(lambda df: _pair_count_partials(df, text_col),
+                     batch_format="pandas")
+        .groupby("cbkt")
+        .map_groups(_fold_pair_partition, batch_format="pandas")
+    )
+    uni_refs = uni_folded.to_arrow_refs()
+    bi_refs = bi_folded.to_arrow_refs()
+    ref = _fold_bigram_model.remote(len(uni_refs), *uni_refs, *bi_refs)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uni, bi, total = ray.get(ref)
+        token_lists = [_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                           count=len(token_lists))
+        flat = [tok for lst in token_lists for tok in lst]
+        prev = [lst[i - 1] if i else None
+                for lst in token_lists for i in range(len(lst))]
+        cu = (pd.Series(flat, dtype="object").map(uni)
+              .fillna(-1).to_numpy(dtype="int64"))
+        cp = (pd.Series(prev, dtype="object").map(uni)
+              .fillna(0).to_numpy(dtype="int64"))
+        cb = (pd.Series(list(zip(prev, flat)), dtype="object").map(bi)
+              .fillna(0).to_numpy(dtype="int64"))
+        # backoff lane: first token or OOV context -> unigram bits
+        # np.where evaluates both lanes: clamp the OOV sentinel's
+        # divisor to 1 (the lane's value is masked out anyway)
+        uni_bits = np.where(
+            cu < 0,
+            max(total.bit_length() - 1, 0),
+            np.maximum(_bitlen_pos(total // np.maximum(cu + 1, 1)) - 1, 0),
+        )
+        bi_bits = np.maximum(_bitlen_pos((cp + 1) // (cb + 1)) - 1, 0)
+        bits = np.where(cp == 0, uni_bits, bi_bits).astype(np.float64)
+        idx = np.repeat(np.arange(len(df)), lens)
+        totals = np.bincount(idx, weights=bits,
+                             minlength=len(df)).astype(np.int64)
+        keep = lens > 0
+        n = lens[keep]
+        total_bits = totals[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_tokens": n,
+            "total_bits": total_bits,
+            "mean_bits_e2": (100 * total_bits) // n,
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pandas"))
