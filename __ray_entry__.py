@@ -933,13 +933,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct_by(ds, "user_id", "event_type")
 
-    def q_corpus_diff(sf_dir: str):
-        # recrawl snapshot diff (ops/diff.py): new = documents with
-        # deterministic removals (%7), edits (%10) and additions
+    def _snapshot_pair(sf_dir: str):
+        # (old, new) snapshots for the diff family: new = documents
+        # with deterministic removals (%7), edits (%10) and additions
         # (%13 clones at doc_id+100000), replayed verbatim in SQL
         import pandas as pd
-
-        from web_scraper_ray.ops.diff import corpus_diff
 
         old = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -956,7 +954,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         new = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ).map_batches(mutate, batch_format="pandas")
+        return old, new
+
+    def q_corpus_diff(sf_dir: str):
+        # recrawl snapshot diff (ops/diff.py)
+        from web_scraper_ray.ops.diff import corpus_diff
+
+        old, new = _snapshot_pair(sf_dir)
         return corpus_diff(old, new)
+
+    def q_recrawl_plan(sf_dir: str):
+        # diff → budgeted refresh schedule (ops/diff.py:recrawl_plan):
+        # changed > added > unchanged, removed excluded, key-ascending
+        # within a class, deterministic budget cut
+        from web_scraper_ray.ops.diff import recrawl_plan
+
+        old, new = _snapshot_pair(sf_dir)
+        return recrawl_plan(old, new, budget=100)
 
     def q_corpus_profile(sf_dir: str):
         # six-row corpus report (ops/profile.py): counts, HLL vocab
@@ -1562,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_candidates": q_bloom_candidates,
         "corpus_profile": q_corpus_profile,
         "corpus_diff": q_corpus_diff,
+        "recrawl_plan": q_recrawl_plan,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3129,6 +3144,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS change
             FROM j
             WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+        """,
+        # diff → budgeted refresh schedule (ops/diff.py:recrawl_plan)
+        "recrawl_plan": """
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN text || 'x'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000, text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            o AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM documents),
+            n AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM newt),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         o.h AS ho, n.h AS hn
+                  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+            v AS (SELECT doc_id,
+                         CASE WHEN ho IS NULL THEN 'added'
+                              WHEN hn IS NULL THEN 'removed'
+                              WHEN ho <> hn THEN 'changed'
+                              ELSE 'unchanged' END AS change
+                  FROM j)
+            SELECT doc_id, change,
+                   CASE change WHEN 'changed' THEN 3
+                               WHEN 'added' THEN 2
+                               ELSE 1 END::BIGINT AS priority
+            FROM v WHERE change <> 'removed'
+            ORDER BY priority DESC, doc_id ASC
+            LIMIT 100
         """,
         # corpus profiling report (ops/profile.py): every metric an
         # already-oracled primitive (counts, HLL vocab, integer

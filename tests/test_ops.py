@@ -1675,3 +1675,32 @@ def test_corpus_diff_verdicts(ray_session):
     assert full[1] == "unchanged" and full[4] == "unchanged"
     # identical snapshots: empty diff
     assert corpus_diff(old, old).count() == 0
+
+
+def test_recrawl_plan_priorities(ray_session):
+    """Budgeted refresh schedule: changed > added > unchanged,
+    removed excluded, key-ascending within class, deterministic
+    budget cut, stable at any partitioning."""
+    import ray.data
+
+    from web_scraper_ray.ops.diff import recrawl_plan
+
+    old = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    new_rows = ([{"doc_id": i, "text": f"t{i}x"} for i in (2, 7)]   # changed
+                + [{"doc_id": i, "text": f"t{i}"}                    # same
+                   for i in range(10) if i not in (2, 7, 9)]         # 9 gone
+                + [{"doc_id": 20, "text": "fresh"}])                 # added
+    for parts in (None, 4):
+        new = ray.data.from_items(new_rows)
+        if parts:
+            new = new.repartition(parts)
+        plan = recrawl_plan(old, new, budget=6).to_pandas()
+        # changed (2,7) first, added (20), then lowest unchanged keys
+        assert list(plan["doc_id"]) == [2, 7, 20, 0, 1, 3]
+        assert list(plan["priority"]) == [3, 3, 2, 1, 1, 1]
+        assert "removed" not in set(plan["change"])
+    # budget larger than candidates: every non-removed key, 9 absent
+    full = recrawl_plan(old, ray.data.from_items(new_rows),
+                        budget=100).to_pandas()
+    assert len(full) == 10 and 9 not in set(full["doc_id"])

@@ -29,7 +29,7 @@ import pandas as pd
 
 import ray.data
 
-__all__ = ["corpus_diff"]
+__all__ = ["corpus_diff", "recrawl_plan"]
 
 _INT63 = (1 << 63) - 1
 
@@ -90,3 +90,41 @@ def corpus_diff(
 
     return (both.groupby("bkt")
             .map_groups(verdicts, batch_format="pandas"))
+
+
+def recrawl_plan(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    budget: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The recrawl scheduler's output: the ``budget`` keys most worth
+    re-fetching, from the snapshot diff. Priority classes — changed
+    (3: content moved, refresh first), added (2: never archived),
+    unchanged (1: routine refresh, oldest-key-first); removed keys are
+    excluded (nothing to fetch). Within a class the order is key
+    ascending — a total order, so the plan is parallelism- and
+    resume-stable and the budget cut is deterministic even inside the
+    unchanged tail.
+
+    Shape: :func:`corpus_diff`'s one slim union+groupby, a priority
+    label scan, then a budget-bounded ``sort + limit`` (only the
+    surviving verdict rows — key + two small columns — reach the
+    exchange). Rows: ``(key, change, priority)``."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    diff = corpus_diff(old, new, key_col=key_col, text_col=text_col,
+                       n_buckets=n_buckets, keep_unchanged=True)
+    prio = {"changed": 3, "added": 2, "unchanged": 1}
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["change"] != "removed"].copy()
+        df["priority"] = (df["change"].map(prio)
+                          .to_numpy(dtype="int64"))
+        return df
+
+    return (diff.map_batches(label, batch_format="pandas")
+            .sort(["priority", key_col], descending=[True, False])
+            .limit(budget))
