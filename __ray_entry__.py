@@ -895,6 +895,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bigram_surprisal_scores(ds, _lm_target(sf_dir))
 
+    def q_source_surprisal(sf_dir: str):
+        # per-source mean surprisal vs the target LM (ops/lm.py:
+        # surprisal_by_group) — the domain-quality ranking of the mix
+        from web_scraper_ray.ops.lm import surprisal_by_group
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        return surprisal_by_group(ds, _lm_target(sf_dir), "source")
+
     def q_lm_filter(sf_dir: str):
         # CCNet "head" selection: keep docs within 4.13 bits/token of
         # the target LM (the sf0.001 median — a nontrivial split)
@@ -1567,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
         "bigram_surprisal": q_bigram_surprisal,
+        "source_surprisal": q_source_surprisal,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
@@ -3037,6 +3049,17 @@ def oracle_sql() -> dict[str, str]:
                    (100 * sum(bits)::BIGINT) // count(*)::BIGINT
                        AS mean_bits_e2
             FROM b GROUP BY doc_id
+        """,
+        # per-source mean surprisal (ops/lm.py:surprisal_by_group):
+        # the shared unigram CTE chain re-grouped by source via the
+        # documents join
+        "source_surprisal": _LM_SURPRISAL_SQL + """
+            SELECT s.source, count(*)::BIGINT AS n_tokens,
+                   sum(b.bits)::BIGINT AS total_bits,
+                   (100 * sum(b.bits)::BIGINT) // count(*)::BIGINT
+                       AS mean_bits_e2
+            FROM b JOIN documents s USING (doc_id)
+            GROUP BY s.source
         """,
         # bigram LM with unigram backoff (ops/lm.py): conditional
         # whole-bit surprisal bitlen((c_prev+1)//(c_bi+1))-1, backoff

@@ -225,3 +225,33 @@ def test_bigram_surprisal_matches_reference(lm_corpus):
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(again.astype("int64"),
                                   got.astype("int64"))
+
+
+def test_surprisal_by_group_matches_per_doc(lm_corpus):
+    """Group sums equal the per-doc scores folded by group, at any
+    partitioning; zero-token docs contribute nothing."""
+    import ray.data
+
+    from web_scraper_ray.ops.lm import surprisal_by_group, surprisal_scores
+
+    ds, target_ds, docs, _ = lm_corpus
+    grp = {0: "a", 1: "b", 2: "a", 3: "b", 4: "a", 5: "b"}
+    rows = [{**d, "src": grp[d["doc_id"]]} for d in docs]
+    per_doc = surprisal_scores(ds, target_ds).to_pandas()
+    per_doc["src"] = per_doc["doc_id"].map(grp)
+    want = (per_doc.groupby("src")[["n_tokens", "total_bits"]].sum()
+            .reset_index())
+    want["mean_bits_e2"] = ((100 * want["total_bits"])
+                            // want["n_tokens"])
+    for parts in (None, 4):
+        gds = ray.data.from_items(rows)
+        if parts:
+            gds = gds.repartition(parts)
+        got = (surprisal_by_group(gds, target_ds, "src")
+               .to_pandas().sort_values("src").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["src", "n_tokens", "total_bits", "mean_bits_e2"]]
+            .astype({"n_tokens": "int64", "total_bits": "int64",
+                     "mean_bits_e2": "int64"}),
+            want.astype({"n_tokens": "int64", "total_bits": "int64",
+                         "mean_bits_e2": "int64"}))

@@ -65,7 +65,8 @@ import ray.data
 from web_scraper_ray.ops.decontam import _TOKEN_RE
 
 __all__ = ["surprisal_scores", "surprisal_filter", "surprisal_buckets",
-           "bigram_surprisal_scores", "bpe_merge_counts"]
+           "surprisal_by_group", "bigram_surprisal_scores",
+           "bpe_merge_counts"]
 
 
 def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -469,3 +470,52 @@ def bigram_surprisal_scores(
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(score, batch_format="pandas"))
+
+
+def surprisal_by_group(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-GROUP mean surprisal against the ``target`` unigram LM —
+    the domain-quality ranking of a corpus mix (a source whose text
+    looks like the curated target scores low; boilerplate/spam
+    domains score high). Rows ``(group_col, n_tokens, total_bits,
+    mean_bits_e2)`` with ``mean_bits_e2 = (100 * Σ total_bits) //
+    Σ n_tokens`` over the group's scored docs (zero-token docs carry
+    no evidence, exactly as :func:`surprisal_scores`).
+
+    Shape: the scoring scan emits per-batch per-group PARTIAL sums
+    (one row per group per batch — the combiner), then one tiny
+    ``groupby(group)`` and a vectorized finishing scan; full rows
+    never reshuffle and the model broadcasts once. Oracle:
+    ``oracle_sql()['source_surprisal']``."""
+    from ray.data.aggregate import Sum
+
+    ref = _target_bits_ref(target, text_col)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits, oov = ray.get(ref)
+        scored = _doc_bits(df, bits, oov, id_col, text_col)
+        grp = (df.set_index(id_col)[group_col]
+               .loc[scored[id_col]].to_numpy())
+        agg = (pd.DataFrame({group_col: grp,
+                             "n_tokens": scored["n_tokens"].to_numpy(),
+                             "total_bits": scored["total_bits"].to_numpy()})
+               .groupby(group_col, sort=False).sum().reset_index())
+        return agg
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mean_bits_e2"] = ((100 * df["total_bits"])
+                              // df["n_tokens"]).astype("int64")
+        return df
+
+    return (ds.select_columns([id_col, group_col, text_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("total_bits", alias_name="total_bits"))
+            .map_batches(finish, batch_format="pandas"))
