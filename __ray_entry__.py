@@ -144,6 +144,51 @@ def _hll_group_ctes(val_expr: str, group_expr: str, from_clause: str) -> str:
             )"""
 
 
+def _bpe_train_sql(n: int = 3) -> str:
+    """The BPE training loop (ops/lm.py:bpe_train) unrolled as CTEs —
+    the kmeans precedent for hash-checking an ITERATIVE algorithm:
+    step k's winner (count desc, pair asc) rewrites the corpus state
+    via the same left-to-right non-overlapping ``replace`` Python's
+    ``str.replace`` performs, and step k+1 counts pairs of the fused
+    units. MATERIALIZED pins each state/winner to one evaluation."""
+    ctes = ["""d0 AS MATERIALIZED (
+                SELECT ' ' || array_to_string(
+                           regexp_extract_all(COALESCE(text, ''),
+                                              '[^ \t\n\r\f\v]+'),
+                           ' ') || ' ' AS s
+                FROM documents
+                WHERE len(regexp_extract_all(COALESCE(text, ''),
+                                             '[^ \t\n\r\f\v]+')) > 0
+            )"""]
+    selects = []
+    for k in range(n):
+        ctes.append(f"""p{k} AS (
+                SELECT t[p] AS p1, t[p + 1] AS p2, count(*)::BIGINT AS n
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1))
+                                 AS p
+                      FROM (SELECT string_split(trim(s, ' '), ' ') AS t
+                            FROM d{k}))
+                GROUP BY p1, p2
+            ),
+            w{k} AS MATERIALIZED (
+                SELECT p1, p2, n FROM p{k}
+                ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1
+            )""")
+        if k < n - 1:
+            ctes.append(f"""d{k + 1} AS MATERIALIZED (
+                SELECT replace(s,
+                           ' ' || (SELECT p1 FROM w{k}) || ' '
+                               || (SELECT p2 FROM w{k}) || ' ',
+                           ' ' || (SELECT p1 FROM w{k}) || chr(1)
+                               || (SELECT p2 FROM w{k}) || ' ') AS s
+                FROM d{k}
+            )""")
+        selects.append(
+            f"SELECT {k}::BIGINT AS step, p1, p2, n FROM w{k}")
+    return ("WITH " + ",\n            ".join(ctes) + "\n            "
+            + "\n            UNION ALL ".join(selects))
+
+
 #: the estimator CASE applied to _hll_ctes' est0 (linear counting on
 #: the small-range branch; the bm25 one-division + libm-ln discipline)
 _HLL_EST_CASE = """CASE WHEN raw <= 2560 AND nnz < 1024
@@ -906,6 +951,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return surprisal_by_group(ds, _lm_target(sf_dir), "source")
 
+    def q_bpe_train(sf_dir: str):
+        # the BPE training LOOP (ops/lm.py:bpe_train): 3 merge steps,
+        # corpus re-tokenized between steps so later winners can
+        # contain earlier fused units
+        from web_scraper_ray.ops.lm import bpe_train
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return bpe_train(ds, n_merges=3)
+
     def q_lm_filter(sf_dir: str):
         # CCNet "head" selection: keep docs within 4.13 bits/token of
         # the target LM (the sf0.001 median — a nontrivial split)
@@ -1579,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": q_lm_surprisal,
         "bigram_surprisal": q_bigram_surprisal,
         "source_surprisal": q_source_surprisal,
+        "bpe_train": q_bpe_train,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
@@ -3050,6 +3107,9 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_bits_e2
             FROM b GROUP BY doc_id
         """,
+        # BPE training loop (ops/lm.py:bpe_train): iterative merges
+        # unrolled as CTEs, hash-exact
+        "bpe_train": _bpe_train_sql(3),
         # per-source mean surprisal (ops/lm.py:surprisal_by_group):
         # the shared unigram CTE chain re-grouped by source via the
         # documents join

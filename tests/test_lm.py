@@ -255,3 +255,53 @@ def test_surprisal_by_group_matches_per_doc(lm_corpus):
                      "mean_bits_e2": "int64"}),
             want.astype({"n_tokens": "int64", "total_bits": "int64",
                          "mean_bits_e2": "int64"}))
+
+
+def test_bpe_train_matches_sequential(ray_session):
+    """The distributed training loop equals a sequential reference:
+    same winners in order, later steps count fused units (a merge of
+    a merge), leftmost-greedy overlap rule, deterministic ties."""
+    import ray.data
+
+    from web_scraper_ray.ops.lm import bpe_train
+
+    texts = (["a b c"] * 5          # "a b" wins step 0 (ties: a<b<c)
+             + ["a b"] * 2          # reinforce (a, b)
+             + ["x x x"]            # overlap: leftmost pair only
+             + ["", "  "])          # no tokens
+
+    def ref_train(texts, n):
+        state = [" " + " ".join(_TOK.findall(t)) + " "
+                 for t in texts if _TOK.findall(t)]
+        out = []
+        for step in range(n):
+            cnt = Counter()
+            for s in state:
+                toks = s.strip(" ").split(" ")
+                cnt.update(zip(toks, toks[1:]))
+            if not cnt:
+                break
+            (p1, p2), n_best = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, p1, p2, n_best))
+            state = [s.replace(f" {p1} {p2} ", f" {p1}\x01{p2} ")
+                     for s in state]
+        return out
+
+    want = ref_train(texts, 3)
+    # the loop must chain: step 1's winner contains step 0's fused unit
+    assert want[0][1:3] == ("a", "b")
+    assert "\x01" in want[1][1] + want[1][2]
+
+    for parts in (None, 5):
+        ds = ray.data.from_items([{"text": t} for t in texts])
+        if parts:
+            ds = ds.repartition(parts)
+        got = [tuple(r) for r in bpe_train(ds, n_merges=3).to_pandas()
+               .itertuples(index=False)]
+        assert got == want
+    # n_merges=0 and all-empty input: empty merge tables
+    assert bpe_train(ray.data.from_items([{"text": "a b"}]),
+                     n_merges=0).count() == 0
+    assert bpe_train(ray.data.from_items([{"text": ""}]),
+                     n_merges=2).count() == 0

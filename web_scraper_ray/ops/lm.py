@@ -66,7 +66,7 @@ from web_scraper_ray.ops.decontam import _TOKEN_RE
 
 __all__ = ["surprisal_scores", "surprisal_filter", "surprisal_buckets",
            "surprisal_by_group", "bigram_surprisal_scores",
-           "bpe_merge_counts"]
+           "bpe_merge_counts", "bpe_train"]
 
 
 def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -519,3 +519,75 @@ def surprisal_by_group(
             .aggregate(Sum("n_tokens", alias_name="n_tokens"),
                        Sum("total_bits", alias_name="total_bits"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# BPE training — n merge steps with corpus re-tokenization between
+# steps (bpe_merge_counts is ONE step's statistic; this runs the loop)
+
+_MERGE_SEP = "\x01"
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Train ``n_merges`` BPE merges over whitespace pre-tokens: each
+    step counts every adjacent unit pair corpus-wide, picks the winner
+    (count desc, then (p1, p2) asc — a total order), and rewrites the
+    corpus with the pair fused (joined by ``\\x01``), so later steps
+    see merged units — the actual BPE training loop, not one step's
+    statistic. Returns ``(step, p1, p2, n)``, one row per merge.
+
+    Merge application is a plain left-to-right non-overlapping
+    substring replace on the `` tok1 tok2 ... ``-joined unit string —
+    BPE's leftmost-greedy rule, and bit-identical between Python
+    ``str.replace`` and DuckDB ``replace``, which is what lets an
+    ITERATIVE training run be SQL-hash-checked with the steps unrolled
+    as CTEs (the ``kmeans_clusters`` precedent). Oracle:
+    ``oracle_sql()['bpe_train']``.
+
+    Shape per step: one pair-count combiner pass (the
+    ``bpe_merge_counts`` shape) + a 1-row ``sort+limit`` (the driver
+    holds only the winner) + one rewrite scan; the evolving corpus
+    state is materialized per step (object-store blocks, never the
+    driver) because step k+1's input IS step k's output — the
+    multi-pass nature of BPE training itself, not an implementation
+    accident."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+
+    def to_state(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+        return pd.DataFrame(
+            {"s": pd.Series([" " + " ".join(ts) + " "
+                             for ts in toks if ts], dtype="object")})
+
+    state = (ds.select_columns([text_col])
+             .map_batches(to_state, batch_format="pandas").materialize())
+    merges = []
+    for step in range(n_merges):
+        counts = (state.map_batches(
+                      lambda df: _pair_count_partials(df, "s"),
+                      batch_format="pandas")
+                  .groupby("cbkt")
+                  .map_groups(_fold_pair_partition, batch_format="pandas"))
+        top = (counts.sort(["n", "p1", "p2"],
+                           descending=[True, False, False])
+               .limit(1).take(1))
+        if not top:
+            break
+        p1, p2, n = top[0]["p1"], top[0]["p2"], int(top[0]["n"])
+        merges.append({"step": step, "p1": p1, "p2": p2, "n": n})
+        pat, rep = f" {p1} {p2} ", f" {p1}{_MERGE_SEP}{p2} "
+
+        def rewrite(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"s": df["s"].str.replace(pat, rep, regex=False)})
+
+        state = (state.map_batches(rewrite, batch_format="pandas")
+                 .materialize())
+    return ray.data.from_pandas(pd.DataFrame(
+        merges, columns=["step", "p1", "p2", "n"]).astype(
+            {"step": "int64", "n": "int64"}))
