@@ -144,13 +144,15 @@ def _hll_group_ctes(val_expr: str, group_expr: str, from_clause: str) -> str:
             )"""
 
 
-def _bpe_train_sql(n: int = 3) -> str:
-    """The BPE training loop (ops/lm.py:bpe_train) unrolled as CTEs —
-    the kmeans precedent for hash-checking an ITERATIVE algorithm:
-    step k's winner (count desc, pair asc) rewrites the corpus state
-    via the same left-to-right non-overlapping ``replace`` Python's
+def _bpe_ctes(n: int) -> list:
+    """The BPE training loop's CTE chain (ops/lm.py:bpe_train) — the
+    kmeans precedent for hash-checking an ITERATIVE algorithm: step
+    k's winner (count desc, pair asc) rewrites the corpus state via
+    the same left-to-right non-overlapping ``replace`` Python's
     ``str.replace`` performs, and step k+1 counts pairs of the fused
-    units. MATERIALIZED pins each state/winner to one evaluation."""
+    units. MATERIALIZED pins each state/winner to one evaluation.
+    Shared by the train and encode oracles (ONE source of truth for
+    the winner arithmetic)."""
     ctes = ["""d0 AS MATERIALIZED (
                 SELECT ' ' || array_to_string(
                            regexp_extract_all(COALESCE(text, ''),
@@ -160,7 +162,6 @@ def _bpe_train_sql(n: int = 3) -> str:
                 WHERE len(regexp_extract_all(COALESCE(text, ''),
                                              '[^ \t\n\r\f\v]+')) > 0
             )"""]
-    selects = []
     for k in range(n):
         ctes.append(f"""p{k} AS (
                 SELECT t[p] AS p1, t[p + 1] AS p2, count(*)::BIGINT AS n
@@ -183,10 +184,50 @@ def _bpe_train_sql(n: int = 3) -> str:
                                || (SELECT p2 FROM w{k}) || ' ') AS s
                 FROM d{k}
             )""")
-        selects.append(
-            f"SELECT {k}::BIGINT AS step, p1, p2, n FROM w{k}")
-    return ("WITH " + ",\n            ".join(ctes) + "\n            "
+    return ctes
+
+
+def _bpe_train_sql(n: int = 3) -> str:
+    selects = [f"SELECT {k}::BIGINT AS step, p1, p2, n FROM w{k}"
+               for k in range(n)]
+    return ("WITH " + ",\n            ".join(_bpe_ctes(n))
+            + "\n            "
             + "\n            UNION ALL ".join(selects))
+
+
+def _bpe_encode_sql(n: int = 3) -> str:
+    """Encode oracle (ops/lm.py:bpe_encode): the SAME winner CTEs,
+    then every doc rewritten by all n merges in training order; unit
+    count = split length of the final state."""
+    ctes = _bpe_ctes(n)
+    ctes.append("""e0 AS (
+                SELECT doc_id,
+                       ' ' || array_to_string(
+                           regexp_extract_all(COALESCE(text, ''),
+                                              '[^ \t\n\r\f\v]+'),
+                           ' ') || ' ' AS s,
+                       len(regexp_extract_all(COALESCE(text, ''),
+                                              '[^ \t\n\r\f\v]+'))
+                           AS n_pre
+                FROM documents
+                WHERE len(regexp_extract_all(COALESCE(text, ''),
+                                             '[^ \t\n\r\f\v]+')) > 0
+            )""")
+    for k in range(n):
+        ctes.append(f"""e{k + 1} AS (
+                SELECT doc_id, n_pre,
+                       replace(s,
+                           ' ' || (SELECT p1 FROM w{k}) || ' '
+                               || (SELECT p2 FROM w{k}) || ' ',
+                           ' ' || (SELECT p1 FROM w{k}) || chr(1)
+                               || (SELECT p2 FROM w{k}) || ' ') AS s
+                FROM e{k}
+            )""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT doc_id, n_pre::BIGINT AS n_pretokens,
+                   len(string_split(trim(s, ' '), ' '))::BIGINT
+                       AS n_units
+            FROM e{n}""")
 
 
 #: the estimator CASE applied to _hll_ctes' est0 (linear counting on
@@ -962,6 +1003,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bpe_train(ds, n_merges=3)
 
+    def q_bpe_encode(sf_dir: str):
+        # train 3 merges, then ENCODE the corpus with them (ops/lm.py:
+        # bpe_encode): per-doc pretoken and unit counts
+        from web_scraper_ray.ops.lm import bpe_encode, bpe_train
+
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        tr = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return bpe_encode(docs, bpe_train(tr, n_merges=3))
+
     def q_lm_filter(sf_dir: str):
         # CCNet "head" selection: keep docs within 4.13 bits/token of
         # the target LM (the sf0.001 median — a nontrivial split)
@@ -1636,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": q_bigram_surprisal,
         "source_surprisal": q_source_surprisal,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "lm_filter": q_lm_filter,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
@@ -3110,6 +3165,9 @@ def oracle_sql() -> dict[str, str]:
         # BPE training loop (ops/lm.py:bpe_train): iterative merges
         # unrolled as CTEs, hash-exact
         "bpe_train": _bpe_train_sql(3),
+        # BPE encode (ops/lm.py:bpe_encode): the trained winners
+        # applied to every doc in training order
+        "bpe_encode": _bpe_encode_sql(3),
         # per-source mean surprisal (ops/lm.py:surprisal_by_group):
         # the shared unigram CTE chain re-grouped by source via the
         # documents join

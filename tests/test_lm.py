@@ -305,3 +305,31 @@ def test_bpe_train_matches_sequential(ray_session):
                      n_merges=0).count() == 0
     assert bpe_train(ray.data.from_items([{"text": ""}]),
                      n_merges=2).count() == 0
+
+
+def test_bpe_encode_applies_merges(ray_session):
+    """Encode applies trained merges in order: unit counts drop by
+    exactly the number of fused occurrences, untouched docs keep
+    n_units == n_pretokens, zero-token docs are dropped."""
+    import ray.data
+
+    from web_scraper_ray.ops.lm import bpe_encode, bpe_train
+
+    texts = ["a b c a b", "c c c", "a b", ""]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = bpe_train(ds, n_merges=2)
+    got = (bpe_encode(ds, merges).to_pandas()
+           .set_index("doc_id").sort_index())
+    # step 0 fuses (a, b) [3 occurrences]; step 1 fuses (c, c) [2,
+    # leftmost-greedy gives 1 fuse in "c c c"]
+    m = merges.to_pandas()
+    assert list(zip(m["p1"], m["p2"])) == [("a", "b"), ("c", "c")]
+    assert got.loc[0, "n_pretokens"] == 5 and got.loc[0, "n_units"] == 3
+    assert got.loc[1, "n_pretokens"] == 3 and got.loc[1, "n_units"] == 2
+    assert got.loc[2, "n_units"] == 1
+    assert 3 not in got.index  # empty doc dropped
+    # empty merge table: identity encode
+    ident = (bpe_encode(ds, bpe_train(ds, n_merges=0)).to_pandas()
+             .set_index("doc_id"))
+    assert (ident["n_units"] == ident["n_pretokens"]).all()

@@ -66,7 +66,7 @@ from web_scraper_ray.ops.decontam import _TOKEN_RE
 
 __all__ = ["surprisal_scores", "surprisal_filter", "surprisal_buckets",
            "surprisal_by_group", "bigram_surprisal_scores",
-           "bpe_merge_counts", "bpe_train"]
+           "bpe_merge_counts", "bpe_train", "bpe_encode"]
 
 
 def _count_partials(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -591,3 +591,57 @@ def bpe_train(
     return ray.data.from_pandas(pd.DataFrame(
         merges, columns=["step", "p1", "p2", "n"]).astype(
             {"step": "int64", "n": "int64"}))
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Apply a trained merge table (:func:`bpe_train`'s output) to the
+    corpus: per doc, whitespace pre-tokens fused by each merge IN
+    TRAINING ORDER (the BPE encode rule), then unit counts — rows
+    ``(id, n_pretokens, n_units)`` (``n_pretokens - n_units`` = merges
+    applied). Zero-token docs are dropped (the module convention).
+
+    The merge table is O(n_merges) — a bounded small side folded to
+    one object-store list by a Ray task and broadcast into the encode
+    scan (never per-batch reshipped); encoding itself is a pure
+    ``map_batches`` of vectorized substring replaces. Oracle:
+    ``oracle_sql()['bpe_encode']``."""
+    @ray.remote(num_cpus=0)
+    def fold(*tables) -> list:
+        import pyarrow as pa
+
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return []
+        t = pa.concat_tables(live)
+        rows = sorted(zip(t.column("step").to_pylist(),
+                          t.column("p1").to_pylist(),
+                          t.column("p2").to_pylist()))
+        return [(p1, p2) for _, p1, p2 in rows]
+
+    ref = fold.remote(*merges.to_arrow_refs())
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = ray.get(ref)
+        toks = [_TOKEN_RE.findall(t) for t in df[text_col].fillna("")]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        s = pd.Series([" " + " ".join(ts) + " " for ts in toks],
+                      dtype="object")
+        for p1, p2 in pairs:
+            s = s.str.replace(f" {p1} {p2} ", f" {p1}{_MERGE_SEP}{p2} ",
+                              regex=False)
+        units = s.str.strip(" ").str.split(" ").map(len).to_numpy()
+        keep = lens > 0
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_pretokens": lens[keep],
+            "n_units": units[keep].astype("int64"),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(encode, batch_format="pandas"))
