@@ -176,12 +176,16 @@ def _bpe_ctes(n: int) -> list:
                 ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1
             )""")
         if k < n - 1:
+            # CASE: empty w{k} (training dried up) must leave the
+            # state intact, not NULL-propagate through replace()
             ctes.append(f"""d{k + 1} AS MATERIALIZED (
-                SELECT replace(s,
-                           ' ' || (SELECT p1 FROM w{k}) || ' '
-                               || (SELECT p2 FROM w{k}) || ' ',
-                           ' ' || (SELECT p1 FROM w{k}) || chr(1)
-                               || (SELECT p2 FROM w{k}) || ' ') AS s
+                SELECT CASE WHEN (SELECT count(*) FROM w{k}) = 0 THEN s
+                            ELSE replace(s,
+                                ' ' || (SELECT p1 FROM w{k}) || ' '
+                                    || (SELECT p2 FROM w{k}) || ' ',
+                                ' ' || (SELECT p1 FROM w{k}) || chr(1)
+                                    || (SELECT p2 FROM w{k}) || ' ')
+                       END AS s
                 FROM d{k}
             )""")
     return ctes
@@ -214,13 +218,20 @@ def _bpe_encode_sql(n: int = 3) -> str:
                                              '[^ \t\n\r\f\v]+')) > 0
             )""")
     for k in range(n):
+        # the CASE guards early training termination: when the corpus
+        # supports fewer than n merges, w{k} is empty, its scalar
+        # subqueries are NULL, and replace(s, NULL, ...) would
+        # NULL-propagate through every doc — the engine's bpe_encode
+        # simply applies no merge, so the oracle must too
         ctes.append(f"""e{k + 1} AS (
                 SELECT doc_id, n_pre,
-                       replace(s,
-                           ' ' || (SELECT p1 FROM w{k}) || ' '
-                               || (SELECT p2 FROM w{k}) || ' ',
-                           ' ' || (SELECT p1 FROM w{k}) || chr(1)
-                               || (SELECT p2 FROM w{k}) || ' ') AS s
+                       CASE WHEN (SELECT count(*) FROM w{k}) = 0 THEN s
+                            ELSE replace(s,
+                                ' ' || (SELECT p1 FROM w{k}) || ' '
+                                    || (SELECT p2 FROM w{k}) || ' ',
+                                ' ' || (SELECT p1 FROM w{k}) || chr(1)
+                                    || (SELECT p2 FROM w{k}) || ' ')
+                       END AS s
                 FROM e{k}
             )""")
     return ("WITH " + ",\n            ".join(ctes) + f"""
@@ -491,8 +502,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df["chunk_key"] = df["doc_id"] * 1_048_576 + df["chunk_id"]
             return df
 
+        # materialized: exact_dedup consumes its input twice (hash
+        # pass + filter pass). At query scale pinning the chunk table
+        # is cheapest; at corpus scale either recompute the cheap
+        # explode per pass or chunk to parquet first.
         chunks = (chunk_documents(ds, window=32, stride=24)
-                  .map_batches(with_key, batch_format="pandas"))
+                  .map_batches(with_key, batch_format="pandas")
+                  .materialize())
         return exact_dedup(
             chunks, text_col="chunk_text", id_col="chunk_key"
         ).drop_columns(["chunk_key"])

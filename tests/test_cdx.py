@@ -112,3 +112,35 @@ def test_read_cdx_and_synthesized_shards(ray_session, tmp_path, sf_dir):
     # idempotent on rerun (the _DONE stamp): same paths, same rows
     again = synthesize_cdx_shards(doc, str(tmp_path / "cdx"), n_shards=3)
     assert again == paths
+
+
+def test_parser_survives_corrupt_deflate_body():
+    # valid gzip header, corrupt deflate body -> zlib.error path
+    import gzip as _gzip
+
+    good = _gzip.compress(b"x", mtime=0)
+    corrupt = good[:10] + b"\xff\x00\xde\xad" + good[-4:]
+    assert list(parse_cdxj_bytes(corrupt)) == []
+
+
+def test_whitespace_urls_round_trip(tmp_path):
+    """URLs with unencoded whitespace must not shift the space-
+    delimited line format: the SURT key percent-encodes them and
+    every record survives the round trip."""
+    base = datetime(2025, 3, 28)
+    recs = [
+        {"url": "https://x.com/a b/c?q=1 2", "fetch_ts": base,
+         "status": 200, "digest": "d1", "length": 1,
+         "warc_path": "w", "offset": 0},
+        {"url": "https://x.com/tab\there", "fetch_ts": base,
+         "status": 200, "digest": "d2", "length": 2,
+         "warc_path": "w", "offset": 512},
+    ]
+    assert surt_key(recs[0]["url"]) == "com,x)/a%20b/c?q=1%202"
+    p = tmp_path / "ws.cdxj"
+    write_cdxj(str(p), recs)
+    got = sorted(parse_cdxj_bytes(p.read_bytes()),
+                 key=lambda r: r["url"])
+    assert [r["url"] for r in got] == sorted(r["url"] for r in recs)
+    assert all(" " not in r["surt"] and "\t" not in r["surt"]
+               for r in got)

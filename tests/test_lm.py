@@ -333,3 +333,36 @@ def test_bpe_encode_applies_merges(ray_session):
     ident = (bpe_encode(ds, bpe_train(ds, n_merges=0)).to_pandas()
              .set_index("doc_id"))
     assert (ident["n_units"] == ident["n_pretokens"]).all()
+
+
+def test_bpe_oracles_degenerate_early_termination(ray_session):
+    """When the corpus supports fewer merges than requested, the
+    train AND encode SQL oracles must match the engine instead of
+    NULL-propagating through the empty-winner replace()."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as entry
+    from web_scraper_ray.ops.lm import bpe_encode, bpe_train
+
+    # exactly ONE mergeable pair corpus-wide -> training dries up
+    # after step 0 of 3
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["a a", "b", "c"]})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql_train = con.execute(entry._bpe_train_sql(3)).df()
+    sql_encode = (con.execute(entry._bpe_encode_sql(3)).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+
+    ds = ray.data.from_pandas(docs)
+    got_train = bpe_train(ds, n_merges=3).to_pandas()
+    got_encode = (bpe_encode(ds, bpe_train(ds, n_merges=3)).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got_train) == 1 and len(sql_train) == 1
+    assert tuple(sql_train.iloc[0][["p1", "p2"]]) == ("a", "a")
+    assert not sql_encode["n_units"].isna().any()
+    pd.testing.assert_frame_equal(
+        got_encode.astype({"n_pretokens": "int64", "n_units": "int64"}),
+        sql_encode.astype({"n_pretokens": "int64", "n_units": "int64"}))

@@ -205,6 +205,46 @@ def test_chunk_documents_windows(ray_session):
         chunk_documents(ray.data.from_pandas(docs), window=0)
 
 
+def test_topk_survives_empty_blocks(ray_session, sf_dir):
+    """Filter-heavy upstreams can hand local_topk an empty block
+    (np.stack raises on those): both rankers must return the same
+    top-k regardless."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from web_scraper_ray.ops.similarity import brute_force_topk, quantized_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(tbl["embedding"].to_pylist()[0], dtype=np.float64)
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # 40 blocks over <=500 rows with a selective filter -> some empty
+    sparse = base.repartition(40).filter(
+        lambda r: r["vec_id"] % 7 == 0)
+    want_b = brute_force_topk(base.filter(lambda r: r["vec_id"] % 7 == 0),
+                              q, k=5).to_pandas()["vec_id"].tolist()
+    got_b = brute_force_topk(sparse, q, k=5).to_pandas()["vec_id"].tolist()
+    assert got_b == want_b
+    got_q = quantized_topk(sparse, q, k=5).to_pandas()["vec_id"].tolist()
+    assert len(got_q) == 5
+
+
+def test_budget_ops_integer_group_keys(ray_session):
+    """Group columns need not be strings: int host ids apportion and
+    select identically."""
+    import ray.data
+
+    from web_scraper_ray.ops.sampling import apportion_budget, budget_select
+
+    df = pd.DataFrame({"doc_id": range(30), "host_id": [i % 3 for i in range(30)]})
+    quota = (apportion_budget(ray.data.from_pandas(df), "host_id", 9)
+             .to_pandas().set_index("host_id").sort_index())
+    assert list(quota["quota"]) == [3, 3, 3]
+    plan = budget_select(ray.data.from_pandas(df), "host_id", "doc_id",
+                         budget=9).to_pandas()
+    assert len(plan) == 9
+    assert plan.groupby("host_id").size().tolist() == [3, 3, 3]
+
+
 def test_text_stats_reference_values(ray_session):
     import ray.data
     from web_scraper_ray.ops.text import text_stats_batch

@@ -324,8 +324,13 @@ def _quota_table_ref(ds: ray.data.Dataset, group_col: str, budget: int,
             leftover = budget - sum(q0.values())
             order = sorted(groups, key=lambda g: (-rem[g], g))
         bump = set(order[:leftover])
+        # let Arrow infer the group column's type (int hosts ids work
+        # as well as string hosts); only the empty table needs a
+        # concrete fallback type
+        garr = (pa.array(groups) if groups
+                else pa.array([], type=pa.string()))
         return pa.table({
-            group_col: pa.array(groups, type=pa.string()),
+            group_col: garr,
             "weight": pa.array([wt[g] for g in groups], type=pa.int64()),
             "quota": pa.array([q0[g] + (1 if g in bump else 0)
                                for g in groups], type=pa.int64()),

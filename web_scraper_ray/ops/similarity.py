@@ -39,10 +39,13 @@ def brute_force_topk(
     q_ref = ray.put(q)
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, *extra_cols]].copy()
+        if not len(df):  # np.stack raises on empty blocks
+            out["cosine"] = pd.Series([], dtype="float64")
+            return out
         qm = ray.get(q_ref)
         mat = _unit(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         sims = (mat @ qm.T).ravel()
-        out = df[[id_col, *extra_cols]].copy()
         out["cosine"] = sims
         out = out.sort_values(["cosine", id_col], ascending=[False, True],
                               kind="mergesort")
@@ -89,10 +92,13 @@ def quantized_topk(
     q_ref = ray.put(q)
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, *extra_cols]].copy()
+        if not len(df):  # np.stack raises on empty blocks
+            out["qscore"] = pd.Series([], dtype="int64")
+            return out
         qm = ray.get(q_ref)
         mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         score = (quantize_i8(mat) @ qm.T).ravel()
-        out = df[[id_col, *extra_cols]].copy()
         out["qscore"] = score.astype("int64")
         return out.sort_values(["qscore", id_col],
                                ascending=[False, True],

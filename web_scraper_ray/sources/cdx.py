@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import zlib
 from datetime import datetime, timedelta
 from typing import Iterator, Optional
 from urllib.parse import urlsplit
@@ -33,11 +34,19 @@ import ray.data
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+#: whitespace → percent-encoding inside SURT keys: the CDXJ line
+#: format is space-delimited, so an unencoded space/tab in a URL path
+#: would shift the field split and silently drop the record on read.
+_WS_ENC = {" ": "%20", "\t": "%09", "\n": "%0A",
+           "\r": "%0D", "\f": "%0C", "\v": "%0B"}
+
 
 def surt_key(url: str) -> str:
     """Sort-friendly URL key: ``com,example,www)/path?q`` — host
     components reversed so every page of a host (and every host of a
-    domain) is one contiguous key range in a sorted index."""
+    domain) is one contiguous key range in a sorted index. Whitespace
+    in path/query is percent-encoded (the key must survive the
+    space-delimited CDXJ line format)."""
     parts = urlsplit(url.strip())
     host = (parts.hostname or "").lower()
     key = ",".join(reversed(host.split("."))) if host else ""
@@ -47,7 +56,11 @@ def surt_key(url: str) -> str:
         key += f":{port}"
     path = parts.path or "/"
     query = f"?{parts.query}" if parts.query else ""
-    return f"{key}){path}{query}"
+    tail = path + query
+    for ws, enc in _WS_ENC.items():
+        if ws in tail:
+            tail = tail.replace(ws, enc)
+    return f"{key}){tail}"
 
 
 def format_ts14(dt: datetime) -> str:
@@ -95,7 +108,9 @@ def parse_cdxj_bytes(payload: bytes) -> Iterator[dict]:
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = gzip.decompress(payload)
-        except (OSError, EOFError):
+        except (OSError, EOFError, zlib.error):
+            # OSError: bad gzip header; EOFError: truncated stream;
+            # zlib.error: valid header, corrupt deflate body
             return
     for line in payload.split(b"\n"):
         line = line.strip()
@@ -174,7 +189,12 @@ def synthesize_cdx_shards(
                           else f"index-{k:05d}.cdxj")
              for k in range(n_shards)]
     stamp = os.path.join(out_dir, "_DONE")
-    tag = f"{documents_parquet}:{n_shards}:{compress}"
+    # the tag fingerprints the source CONTENT (size + mtime), not just
+    # its path — regenerating the fixture in place invalidates the
+    # cached shards instead of silently serving stale ones
+    st = os.stat(documents_parquet)
+    tag = (f"{documents_parquet}:{st.st_size}:{st.st_mtime_ns}:"
+           f"{n_shards}:{compress}")
     if os.path.exists(stamp) and open(stamp).read() == tag:
         return paths
     os.makedirs(out_dir, exist_ok=True)
