@@ -1046,6 +1046,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kept.select_columns(["doc_id", "lang", "source",
                                     "n_chars"])
 
+    def _nb_pos(sf_dir: str):
+        # DCLM-style curated positive seed: the English docs of the
+        # first five sources stand in for the hand-picked seed set
+        return sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+        ).map_batches(
+            lambda df: df.loc[(df["lang"] == "en")
+                              & df["source"].isin(_NB_POS_SOURCES), ["text"]],
+            batch_format="pandas")
+
+    def _nb_neg(sf_dir: str):
+        # negative class: a random-crawl sample (all docs of the last
+        # five sources, every language — the unfiltered-web stand-in)
+        return sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"]
+        ).map_batches(
+            lambda df: df.loc[df["source"].isin(_NB_NEG_SOURCES), ["text"]],
+            batch_format="pandas")
+
+    def q_nb_scores(sf_dir: str):
+        # Naive-Bayes seed-vs-crawl log-odds margin per doc
+        # (ops/classifier.py): exact whole-bit integers
+        from web_scraper_ray.ops.classifier import nb_scores
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return nb_scores(ds, _nb_pos(sf_dir), _nb_neg(sf_dir))
+
+    def q_nb_gate(sf_dir: str):
+        # the classifier GATE at -0.18 bits/token mean margin (the
+        # synthetic corpus's 31-token vocabulary quantizes margins
+        # coarsely; -18 e2 sits between its p50 and p75, a nontrivial
+        # seed-like split) — integer cross-multiplied decision, no
+        # division
+        from web_scraper_ray.ops.classifier import nb_filter
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+        kept = nb_filter(ds, _nb_pos(sf_dir), _nb_neg(sf_dir),
+                         min_margin_e2=-18)
+        return kept.select_columns(["doc_id", "lang", "source"])
+
+    def q_nb_top_tokens(sf_dir: str):
+        # the 50 most seed-discriminative tokens of the trained model
+        from web_scraper_ray.ops.classifier import nb_top_tokens
+
+        return nb_top_tokens(_nb_pos(sf_dir), _nb_neg(sf_dir), k=50)
+
     def q_approx_distinct_events(sf_dir: str):
         # HyperLogLog distinct-count sketch (ops/sketch.py): constant
         # 1024-register state at any scale; the estimator (raw HLL or
@@ -1708,6 +1759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "lm_filter": q_lm_filter,
+        "nb_scores": q_nb_scores,
+        "nb_gate": q_nb_gate,
+        "nb_top_tokens": q_nb_top_tokens,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -2571,6 +2625,55 @@ _LM_SURPRISAL_SQL = """
                            AS bits
                 FROM tok t LEFT JOIN refcnt r USING (tok)
                 CROSS JOIN tot
+            )
+"""
+
+
+#: Naive-Bayes seed-vs-crawl classifier (ops/classifier.py): positive
+#: class = English docs of the first five sources (the curated-seed
+#: stand-in), negative = all docs of the last five (the random-crawl
+#: sample). Whole-bit class surprisals replay as length(bin(..))-1
+#: arithmetic exactly as the unigram LM's.
+_NB_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_NB_NEG_SOURCES = ("src15", "src16", "src17", "src18", "src19")
+
+_NB_SQL = f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ),
+            poscnt AS (
+                SELECT tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                                 COALESCE(text, ''),
+                                 '[^ \t\n\r\f\v]+')) AS tok
+                      FROM documents
+                      WHERE lang = 'en' AND source IN {_NB_POS_SOURCES!r})
+                GROUP BY tok
+            ),
+            negcnt AS (
+                SELECT tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest(regexp_extract_all(
+                                 COALESCE(text, ''),
+                                 '[^ \t\n\r\f\v]+')) AS tok
+                      FROM documents
+                      WHERE source IN {_NB_NEG_SOURCES!r})
+                GROUP BY tok
+            ),
+            ptot AS (SELECT sum(c)::BIGINT AS tp FROM poscnt),
+            ntot AS (SELECT sum(c)::BIGINT AS tn FROM negcnt),
+            b AS (
+                SELECT t.doc_id,
+                       length(bin(ptot.tp // (COALESCE(p.c, 0) + 1))) - 1
+                           AS pbits,
+                       length(bin(ntot.tn // (COALESCE(n.c, 0) + 1))) - 1
+                           AS nbits
+                FROM tok t
+                LEFT JOIN poscnt p USING (tok)
+                LEFT JOIN negcnt n ON t.tok = n.tok
+                CROSS JOIN ptot CROSS JOIN ntot
             )
 """
 
@@ -3459,6 +3562,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d JOIN agg USING (doc_id)
             WHERE agg.mean_bits_e2 <= 413
+        """,
+        # NB seed-vs-crawl classifier (ops/classifier.py): per-doc
+        # whole-bit class surprisals and the integer log-odds margin
+        "nb_scores": _NB_SQL + """
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(pbits)::BIGINT AS pos_bits,
+                   sum(nbits)::BIGINT AS neg_bits,
+                   (sum(nbits) - sum(pbits))::BIGINT AS margin_bits
+            FROM b GROUP BY doc_id
+        """,
+        # the classifier gate at -0.18 bits/token: pure-integer
+        # cross-multiplied decision (100*margin >= -18*n), exact on
+        # negative margins because there is no division
+        "nb_gate": _NB_SQL + """
+            , agg AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       (sum(nbits) - sum(pbits))::BIGINT AS margin_bits
+                FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN agg USING (doc_id)
+            WHERE 100 * agg.margin_bits >= -18 * agg.n_tokens
+        """,
+        # the model's 50 most seed-discriminative tokens: full-outer
+        # union vocabulary, whole-bit weight, (w desc, token) order
+        "nb_top_tokens": _NB_SQL + """
+            , u AS (
+                SELECT COALESCE(p.tok, n.tok) AS token,
+                       COALESCE(p.c, 0)::BIGINT AS c_pos,
+                       COALESCE(n.c, 0)::BIGINT AS c_neg
+                FROM poscnt p FULL OUTER JOIN negcnt n ON p.tok = n.tok
+            )
+            SELECT token, c_pos, c_neg,
+                   ((length(bin(ntot.tn // (c_neg + 1))) - 1)
+                    - (length(bin(ptot.tp // (c_pos + 1))) - 1))::BIGINT
+                       AS w_bits
+            FROM u CROSS JOIN ptot CROSS JOIN ntot
+            ORDER BY w_bits DESC, token ASC
+            LIMIT 50
         """,
         # sparse point-lookup (sources/hashindex.py): the lookup's
         # visible semantics are a plain key-set selection
