@@ -1097,6 +1097,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nb_top_tokens(_nb_pos(sf_dir), _nb_neg(sf_dir), k=50)
 
+    def q_sitemap_seeds(sf_dir: str):
+        # sitemap ingestion round-trip (crawl/sitemap.py — the
+        # reference's TODO.md:7 "Sitemap" surface): render one
+        # deterministic sitemap.xml per source (lastmod + priority
+        # synthesized from doc_id, the media_features precedent),
+        # parse it with the REAL XML parser via sitemap_seeds_ds, and
+        # hash-check the seed rows. seed_index is blake2b-derived
+        # (not SQL-replayable) and covered by pytest instead.
+        from web_scraper_ray.crawl.sitemap import (render_sitemap,
+                                                   sitemap_seeds_ds)
+
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def build(df):
+            import pandas as pd
+
+            df = df.sort_values("doc_id")
+            src = df["source"].iloc[0]
+            urls = [{"url": f"https://{src}.example.com/doc/{i}",
+                     "lastmod": f"2026-01-{(i % 28) + 1:02d}",
+                     "priority": ((i % 10) + 1) / 10}
+                    for i in df["doc_id"]]
+            return pd.DataFrame({
+                "sitemap_url": [f"https://{src}.example.com/sitemap.xml"],
+                "xml": [render_sitemap(urls)],
+            })
+
+        sitemaps = docs.groupby("source").map_groups(
+            build, batch_format="pandas")
+        return sitemap_seeds_ds(sitemaps).select_columns(
+            ["url", "priority", "lastmod", "from_sitemap"])
+
+    def q_robots_decisions(sf_dir: str):
+        # robots.txt round-trip (crawl/robots.py): synthesize one
+        # deterministic robots.txt per source-host (wrong-agent group,
+        # comments, two Disallow prefixes, integer Crawl-delay), parse
+        # each with the REAL parser once per distinct host, and decide
+        # a synthesized path per doc. The oracle regenerates the
+        # decision arithmetic in SQL.
+        from web_scraper_ray.crawl.robots import parse_robots_txt
+
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def decide(df):
+            import pandas as pd
+
+            rules = {}
+            for src in df["source"].unique():
+                m = int(src[3:])
+                body = (f"# robots for {src}\n"
+                        "User-agent: badbot\nDisallow: /\n\n"
+                        "User-agent: *\n"
+                        "Disallow: /tag/\n"
+                        f"Disallow: /private{m}/\n"
+                        f"Crawl-delay: {m % 5 + 1}\n")
+                rules[src] = parse_robots_txt(body)
+            ids = df["doc_id"].to_numpy()
+            paths, allowed, delays = [], [], []
+            for i, src in zip(ids, df["source"]):
+                m = int(src[3:])
+                r = i % 3
+                path = (f"/tag/t{i}" if r == 0
+                        else f"/private{m}/p{i}" if r == 1
+                        else f"/doc/{i}")
+                dis, delay = rules[src]
+                paths.append(path)
+                allowed.append(
+                    0 if any(path.startswith(p) for p in dis) else 1)
+                delays.append(delay)
+            return pd.DataFrame({
+                "doc_id": ids, "path": paths,
+                "allowed": pd.Series(allowed, dtype="int64"),
+                "crawl_delay_ms": pd.Series(delays, dtype="int64"),
+            })
+
+        return docs.map_batches(decide, batch_format="pandas")
+
     def q_approx_distinct_events(sf_dir: str):
         # HyperLogLog distinct-count sketch (ops/sketch.py): constant
         # 1024-register state at any scale; the estimator (raw HLL or
@@ -1762,6 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_scores": q_nb_scores,
         "nb_gate": q_nb_gate,
         "nb_top_tokens": q_nb_top_tokens,
+        "sitemap_seeds": q_sitemap_seeds,
+        "robots_decisions": q_robots_decisions,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3602,6 +3685,38 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # sitemap ingestion round-trip (crawl/sitemap.py): the parsed
+        # seed rows regenerate as pure doc_id/source arithmetic —
+        # priority round((1-(m+1)/10)*10) == 9-m exactly for m in 0..9
+        "sitemap_seeds": """
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   (9 - (doc_id % 10))::BIGINT AS priority,
+                   '2026-01-'
+                       || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                       AS lastmod,
+                   'https://' || source || '.example.com/sitemap.xml'
+                       AS from_sitemap
+            FROM documents
+        """,
+        # robots.txt round-trip (crawl/robots.py): the parser's
+        # decisions replay as the path-construction arithmetic (tag/
+        # and own-private prefixes are disallowed, /doc/ allowed;
+        # Crawl-delay is (m%5+1) whole seconds)
+        "robots_decisions": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                       WHEN 0 THEN '/tag/t' || doc_id
+                       WHEN 1 THEN '/private'
+                                   || CAST(source[4:] AS BIGINT)
+                                   || '/p' || doc_id
+                       ELSE '/doc/' || doc_id
+                   END AS path,
+                   (doc_id % 3 = 2)::BIGINT AS allowed,
+                   ((CAST(source[4:] AS BIGINT) % 5 + 1) * 1000)::BIGINT
+                       AS crawl_delay_ms
+            FROM documents
         """,
         # sparse point-lookup (sources/hashindex.py): the lookup's
         # visible semantics are a plain key-set selection
