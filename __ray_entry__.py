@@ -1178,6 +1178,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(decide, batch_format="pandas")
 
+    def q_heavy_tokens(sf_dir: str):
+        # Misra-Gries heavy hitters + exact recount (ops/sketch.py):
+        # EXACT >=1%-of-corpus tokens from two streaming scans, no
+        # vocabulary shuffle — output provably independent of batch
+        # boundaries, so the plain GROUP BY ... HAVING oracle applies
+        from web_scraper_ray.ops.sketch import heavy_hitters
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        return heavy_hitters(ds, min_frac_e4=100)
+
     def q_approx_distinct_events(sf_dir: str):
         # HyperLogLog distinct-count sketch (ops/sketch.py): constant
         # 1024-register state at any scale; the estimator (raw HLL or
@@ -1845,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_top_tokens": q_nb_top_tokens,
         "sitemap_seeds": q_sitemap_seeds,
         "robots_decisions": q_robots_decisions,
+        "heavy_tokens": q_heavy_tokens,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3685,6 +3698,21 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # Misra-Gries + exact recount (ops/sketch.py:heavy_hitters):
+        # the two-scan sketch's output is EXACT, so the oracle is the
+        # plain aggregate with the same cross-multiplied threshold
+        "heavy_tokens": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ),
+            tot AS (SELECT count(*)::BIGINT AS nt FROM toks)
+            SELECT tok AS token, count(*)::BIGINT AS n
+            FROM toks CROSS JOIN tot
+            GROUP BY tok, tot.nt
+            HAVING 10000 * count(*) >= 100 * tot.nt
         """,
         # sitemap ingestion round-trip (crawl/sitemap.py): the parsed
         # seed rows regenerate as pure doc_id/source arithmetic —

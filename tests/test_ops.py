@@ -1744,3 +1744,31 @@ def test_recrawl_plan_priorities(ray_session):
     full = recrawl_plan(old, ray.data.from_items(new_rows),
                         budget=100).to_pandas()
     assert len(full) == 10 and 9 not in set(full["doc_id"])
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(ray_session):
+    """Misra-Gries + exact recount returns EXACTLY the true heavy set
+    on a Zipf-ish corpus where the batch-local filter really prunes,
+    and the output is independent of batch boundaries."""
+    import collections
+
+    import ray.data
+    from web_scraper_ray.ops.sketch import heavy_hitters
+
+    rng = __import__("random").Random(11)
+    docs = []
+    # head tokens h0/h1 ~12% each, mid tokens ~1.5%, a 200-type tail
+    pool = (["h0"] * 8 + ["h1"] * 8 + ["m0", "m1"]
+            + [f"t{rng.randrange(200)}" for _ in range(50)])
+    for i in range(300):
+        docs.append({"text": " ".join(rng.choice(pool)
+                                      for _ in range(40))})
+    truth = collections.Counter(t for d in docs for t in d["text"].split())
+    n_total = sum(truth.values())
+    want = {t: c for t, c in truth.items() if 10000 * c >= 300 * n_total}
+    assert 2 <= len(want) < 20  # the filter is doing real work
+
+    for blocks in (1, 7):
+        ds = ray.data.from_items(docs, override_num_blocks=blocks)
+        got = heavy_hitters(ds, min_frac_e4=300).to_pandas()
+        assert dict(zip(got["token"], got["n"])) == want, blocks

@@ -43,7 +43,7 @@ import ray
 import ray.data
 
 __all__ = ["approx_distinct", "approx_distinct_by",
-           "cms_point_estimates", "bloom_candidates",
+           "cms_point_estimates", "bloom_candidates", "heavy_hitters",
            "HLL_P", "HLL_M", "ALPHA_E6", "CMS_W", "CMS_D",
            "BLOOM_BITS", "BLOOM_K"]
 
@@ -391,3 +391,114 @@ def bloom_candidates(
         return df.loc[ok]
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with an exact recount — EXACT output from
+# two streaming scans and a candidate-bounded shuffle
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    min_frac_e4: int = 100,
+    k: int | None = None,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """EXACT corpus-wide heavy tokens — every token whose occurrence
+    count satisfies ``10000 * n >= min_frac_e4 * n_total`` (integer
+    cross-multiplication, no division) — without ever shuffling the
+    vocabulary. Rows ``(token, n)`` with exact counts.
+
+    The Misra-Gries/pigeonhole trick (Misra & Gries 1982): scan 1
+    keeps, per batch, only the tokens with ``c_b > n_b / (k + 1)``
+    (vectorized value_counts + an integer cross-multiplied threshold —
+    the batch-local frequent filter, an MG(k)-equivalent summary). A
+    token with global count ``> n_total / (k + 1)`` must exceed that
+    bar in at least one batch (pigeonhole), so with
+    ``k + 1 >= 10000 / min_frac_e4`` the candidate UNION provably
+    contains every true heavy hitter regardless of how rows were
+    batched. Scan 2 recounts ONLY the candidates exactly (combiner
+    partials, coarse md5-bucket fold) and applies the threshold — the
+    spurious candidates fall out, so the output is the exact answer,
+    independent of batch boundaries and parallelism (the default
+    ``k = 2 * 10000 // min_frac_e4`` carries a 2x safety margin; any
+    ``k`` above the bound changes only the candidate-set size, never
+    the output).
+
+    Scale shape: state per batch is <= k + 1 candidate rows + one
+    total row; the only shuffle is the recount fold, bounded by the
+    candidate cardinality (<= (k+1) x batches worst case, in practice
+    the heavy tail). The candidate set broadcasts once via the object
+    store; at open-vocabulary scale where even that outgrows one
+    object, shard the recount by token hash (the documented
+    ``tfidf_topk`` trade). Oracle: ``oracle_sql()['heavy_tokens']``
+    (plain GROUP BY + HAVING — exactness makes the sketch
+    SQL-checkable, unlike CMS point estimates).
+    """
+    from web_scraper_ray.ops.decontam import _TOKEN_RE
+
+    if k is None:
+        k = max(1, 2 * 10000 // max(min_frac_e4, 1))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for x in df[text_col].fillna("")
+                for t in _TOKEN_RE.findall(x)]
+        n_b = len(toks)
+        if not n_b:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "nb": pd.Series([], dtype="int64")})
+        cnt = pd.Series(toks, dtype="object").value_counts()
+        cand = cnt.index.to_numpy()[(k + 1) * cnt.to_numpy() > n_b]
+        return pd.DataFrame({
+            "token": np.concatenate([cand.astype(object), [None]]),
+            "nb": np.concatenate([np.zeros(len(cand), dtype=np.int64),
+                                  [n_b]]),
+        })
+
+    @ray.remote(num_cpus=0)
+    def fold_candidates(*tables) -> tuple[frozenset, int]:
+        toks: set = set()
+        total = 0
+        for t in tables:
+            if not t.num_rows:
+                continue
+            for tok, nb in zip(t.column("token").to_pylist(),
+                               t.column("nb").to_pylist()):
+                if tok is None:
+                    total += int(nb)
+                else:
+                    toks.add(tok)
+        return frozenset(toks), total
+
+    stage1 = ds.select_columns([text_col]).map_batches(
+        partials, batch_format="pandas")
+    ref = fold_candidates.remote(*stage1.to_arrow_refs())
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cand, _ = ray.get(ref)
+        toks = [t for x in df[text_col].fillna("")
+                for t in _TOKEN_RE.findall(x) if t in cand]
+        if not toks:
+            return pd.DataFrame({"cbkt": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        cnt = pd.Series(toks, dtype="object").value_counts()
+        t_arr = cnt.index.to_numpy()
+        cbkt = np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).digest()[0] & 63
+             for t in t_arr), dtype=np.int64, count=len(t_arr))
+        return pd.DataFrame({"cbkt": cbkt, "token": t_arr,
+                             "n": cnt.to_numpy().astype("int64")})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, n_total = ray.get(ref)
+        tot = g.groupby("token", sort=False)["n"].sum()
+        n = tot.to_numpy().astype("int64")
+        keep = 10000 * n >= min_frac_e4 * n_total
+        return pd.DataFrame({"token": tot.index.to_numpy()[keep],
+                             "n": n[keep]})
+
+    return (ds.select_columns([text_col])
+            .map_batches(recount, batch_format="pandas")
+            .groupby("cbkt")
+            .map_groups(fold, batch_format="pandas"))
