@@ -1178,6 +1178,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(decide, batch_format="pandas")
 
+    def q_binned_length_quantiles(sf_dir: str):
+        # bounded-state approximate quantiles (ops/stats.py:
+        # binned_quantiles): the unbounded-domain scale path of
+        # length_quantiles — error < bin_width, exact integers
+        from web_scraper_ray.ops.stats import binned_quantiles
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars"]
+        )
+        return binned_quantiles(ds, "n_chars", bin_width=64)
+
     def q_heavy_tokens(sf_dir: str):
         # Misra-Gries heavy hitters + exact recount (ops/sketch.py):
         # EXACT >=1%-of-corpus tokens from two streaming scans, no
@@ -1858,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": q_sitemap_seeds,
         "robots_decisions": q_robots_decisions,
         "heavy_tokens": q_heavy_tokens,
+        "binned_length_quantiles": q_binned_length_quantiles,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3698,6 +3710,21 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # binned approximate quantiles (ops/stats.py:binned_quantiles):
+        # the exact quantile rule over v // 64 bins, upper-edge report
+        "binned_length_quantiles": """
+            WITH vc AS (SELECT n_chars // 64 AS v,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY n_chars // 64),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM vc),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   CAST((SELECT MIN(v) FROM cum, nn
+                         WHERE cc >= (q.q_pct * nn.n + 99) // 100)
+                        * 64 + 63 AS BIGINT) AS value
+            FROM q
         """,
         # Misra-Gries + exact recount (ops/sketch.py:heavy_hitters):
         # the two-scan sketch's output is EXACT, so the oracle is the

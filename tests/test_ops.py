@@ -1772,3 +1772,21 @@ def test_heavy_hitters_exact_on_skewed_corpus(ray_session):
         ds = ray.data.from_items(docs, override_num_blocks=blocks)
         got = heavy_hitters(ds, min_frac_e4=300).to_pandas()
         assert dict(zip(got["token"], got["n"])) == want, blocks
+
+
+def test_binned_quantiles_error_bound(ray_session):
+    """binned_quantiles over- but never under-estimates the exact
+    percentile, by strictly less than one bin width."""
+    import ray.data
+    from web_scraper_ray.ops.stats import binned_quantiles, exact_quantiles
+
+    rng = __import__("random").Random(5)
+    vals = [rng.randrange(10_000) for _ in range(4_000)]
+    ds = ray.data.from_items([{"v": v} for v in vals])
+    exact = exact_quantiles(ds, "v").set_index("q_pct")["value"]
+    for w in (1, 64, 500):
+        appr = binned_quantiles(ds, "v", bin_width=w).set_index("q_pct")["value"]
+        assert ((appr >= exact) & (appr < exact + w)).all(), w
+    # width 1 is the exact quantile itself
+    appr1 = binned_quantiles(ds, "v", bin_width=1).set_index("q_pct")["value"]
+    assert (appr1 == exact).all()

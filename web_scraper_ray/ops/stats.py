@@ -145,3 +145,36 @@ def grouped_quantiles(
             .map_batches(partial, batch_format="pandas")
             .groupby("cbkt")
             .map_groups(fold_partition, batch_format="pandas"))
+
+
+def binned_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    q_pcts: tuple = (25, 50, 75, 90, 99),
+    bin_width: int = 64,
+) -> pd.DataFrame:
+    """Approximate percentiles of an UNBOUNDED non-negative integer
+    column with guaranteed error < ``bin_width`` — the implemented
+    version of the module's documented hand-off ("for genuinely
+    unbounded/continuous columns, bucket first"): values quantize to
+    ``v // bin_width`` bins, so histogram state is bounded by
+    domain/bin_width no matter how many distinct values exist, the
+    exact integer quantile rule runs on the bin histogram, and the
+    reported value is the selected bin's inclusive UPPER edge
+    (``bin * w + w - 1``) — an overestimate of the true percentile by
+    construction, by strictly less than one bin. All-integer, so the
+    SQL twin (``oracle_sql()['binned_length_quantiles']``) replays it
+    bit-for-bit. Same combiner/coarse-bucket shuffle as
+    :func:`exact_quantiles`; the driver holds only the k-row answer."""
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: df[col].to_numpy() // bin_width})
+
+    cuts = exact_quantiles(
+        ds.select_columns([col]).map_batches(quantize,
+                                             batch_format="pandas"),
+        col, q_pcts)
+    cuts["value"] = (cuts["value"] * bin_width + (bin_width - 1)).astype("int64")
+    return cuts
