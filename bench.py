@@ -271,6 +271,34 @@ def run_bench() -> dict:
         chunk_documents(docs9, window=32, stride=24).count()
         queries["chunk_docs"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        from web_scraper_ray.ops.classifier import nb_filter
+
+        docs10 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id", "text", "lang",
+                                             "source"])
+        pos10 = docs10.map_batches(
+            lambda df: df.loc[(df["lang"] == "en")
+                              & df["source"].isin(
+                                  ("src0", "src1", "src2", "src3",
+                                   "src4")), ["text"]],
+            batch_format="pandas")
+        neg10 = docs10.map_batches(
+            lambda df: df.loc[df["source"].isin(
+                ("src15", "src16", "src17", "src18", "src19")),
+                ["text"]],
+            batch_format="pandas")
+        nb_filter(docs10, pos10, neg10, min_margin_e2=-18).count()
+        queries["nb_gate"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        from web_scraper_ray.ops.sketch import heavy_hitters
+
+        docs11 = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["text"])
+        heavy_hitters(docs11, min_frac_e4=100).count()
+        queries["heavy_tokens"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",
