@@ -265,6 +265,19 @@ def _lm_head_ids_sql(threshold: int = 413) -> str:
     """
 
 
+def _nb_gate_ids_sql(min_margin_e2: int = -18) -> str:
+    """Subquery of the doc ids passing the NB classifier gate
+    (ops/classifier.py:nb_filter): the shared ``_NB_SQL`` CTE prefix
+    wrapped as a standalone WITH-query, decision by integer
+    cross-multiplication (the gate's no-division rule)."""
+    return _NB_SQL + f"""
+            SELECT doc_id FROM b
+            GROUP BY doc_id
+            HAVING 100 * (sum(nbits) - sum(pbits))::BIGINT
+                   >= {min_margin_e2} * count(*)::BIGINT
+    """
+
+
 def _training_corpus_sql(extra_pred: str = "") -> str:
     """The composite pipeline's DuckDB twin: quality-gated stats →
     md5 exact dedup AMONG SURVIVORS (min doc_id wins) → langid +
@@ -661,6 +674,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return training_corpus_ds(
             ds, near_dedup=False, repetition=True, decontam_bench=bench,
             lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
+        )
+
+    def q_training_corpus_v3(sf_dir: str):
+        # v2 + the DCLM-style NB classifier gate (ops/classifier.py)
+        # — the complete modern recipe: heuristics, repetition,
+        # decontamination, target-LM perplexity AND a trained
+        # seed-vs-crawl classifier, all under ONE SQL hash check
+        from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        _, bench = _bench_docs(sf_dir)
+        return training_corpus_ds(
+            ds, near_dedup=False, repetition=True, decontam_bench=bench,
+            lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
+            nb_pos=_nb_pos(sf_dir), nb_neg=_nb_neg(sf_dir),
+            nb_min_margin_e2=-18,
         )
 
     def q_near_dedup(sf_dir: str):
@@ -1831,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus": q_training_corpus,
         "training_corpus_full": q_training_corpus_full,
         "training_corpus_v2": q_training_corpus_v2,
+        "training_corpus_v3": q_training_corpus_v3,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "quantized_topk": q_quantized_topk,
@@ -4009,6 +4041,11 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN ({_repetition_filter_sql()})
               AND doc_id IN ({_decontam_survivors_sql()})
               AND doc_id IN ({_lm_head_ids_sql()})"""),
+        "training_corpus_v3": _training_corpus_sql(extra_pred=f"""
+              AND doc_id IN ({_repetition_filter_sql()})
+              AND doc_id IN ({_decontam_survivors_sql()})
+              AND doc_id IN ({_lm_head_ids_sql()})
+              AND doc_id IN ({_nb_gate_ids_sql()})"""),
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),

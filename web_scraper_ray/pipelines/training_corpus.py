@@ -54,6 +54,9 @@ def training_corpus_ds(
     decontam_n: int = 8,
     lm_target: Optional[ray.data.Dataset] = None,
     lm_max_mean_bits_e2: int = 413,
+    nb_pos: Optional[ray.data.Dataset] = None,
+    nb_neg: Optional[ray.data.Dataset] = None,
+    nb_min_margin_e2: int = 0,
     **quality_kwargs,
 ) -> ray.data.Dataset:
     """documents(id, text) → the curated corpus Dataset (CORPUS_COLUMNS).
@@ -63,7 +66,9 @@ def training_corpus_ds(
     shuffles), then the optional pure-filter gates — Gopher repetition
     (``repetition=True``), benchmark decontamination
     (``decontam_bench`` = the eval-set documents table) and the
-    CCNet-style LM gate (``lm_target`` = the target-domain docs) —
+    CCNet-style LM gate (``lm_target`` = the target-domain docs) and
+    DCLM-style NB classifier gate (``nb_pos``/``nb_neg`` = the curated
+    seed and random-crawl classes, ``ops/classifier.py``) —
     still before anything shuffles; exact dedup runs over the
     survivors (min id per md5), near-dup removal (optional) over the
     exact-deduped set, and
@@ -95,6 +100,13 @@ def training_corpus_ds(
         gated = surprisal_filter(gated, lm_target,
                                  max_mean_bits_e2=lm_max_mean_bits_e2,
                                  id_col=id_col)
+    if nb_pos is not None and nb_neg is not None:
+        # DCLM-style classifier gate (ops/classifier.py): the last of
+        # the pure per-doc filters, still before any shuffle
+        from ..ops.classifier import nb_filter
+
+        gated = nb_filter(gated, nb_pos, nb_neg,
+                          min_margin_e2=nb_min_margin_e2, id_col=id_col)
     deduped = exact_dedup(gated, text_col="text", id_col=id_col)
     if near_dedup:
         deduped = remove_near_duplicates(
