@@ -1220,6 +1220,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return binned_quantiles(ds, "n_chars", bin_width=64)
 
+    def q_epochs_mix(sf_dir: str):
+        # fractional-epoch repeat factors (ops/sampling.py:
+        # epochs_mix): src0 x2.50, src1 x1.70, src2 x0.30, rest x1 —
+        # md5-keyed fractional copies, fixed-point hundredths
+        from web_scraper_ray.ops.sampling import epochs_mix
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        return epochs_mix(ds, {"src0": 250, "src1": 170, "src2": 30})
+
     def q_heavy_tokens(sf_dir: str):
         # Misra-Gries heavy hitters + exact recount (ops/sketch.py):
         # EXACT >=1%-of-corpus tokens from two streaming scans, no
@@ -1902,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_decisions": q_robots_decisions,
         "heavy_tokens": q_heavy_tokens,
         "binned_length_quantiles": q_binned_length_quantiles,
+        "epochs_mix": q_epochs_mix,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3742,6 +3754,34 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # fractional-epoch mixing (ops/sampling.py:epochs_mix): copy
+        # counts = e2//100 + the HUGEINT cross-multiplied fractional
+        # decision; copies exploded by a lateral generate_series
+        "epochs_mix": """
+            WITH e AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 250
+                            WHEN 'src1' THEN 170
+                            WHEN 'src2' THEN 30
+                            ELSE 100 END AS e2,
+                       ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                           AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       e2 // 100
+                       + CASE WHEN h::HUGEINT * 100
+                                   < (e2 % 100)::HUGEINT
+                                     * 18446744073709551616::HUGEINT
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM e
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, n_copies - 1))
+                        AS BIGINT) AS epoch
+            FROM c
         """,
         # binned approximate quantiles (ops/stats.py:binned_quantiles):
         # the exact quantile rule over v // 64 bins, upper-edge report

@@ -1790,3 +1790,35 @@ def test_binned_quantiles_error_bound(ray_session):
     # width 1 is the exact quantile itself
     appr1 = binned_quantiles(ds, "v", bin_width=1).set_index("q_pct")["value"]
     assert (appr1 == exact).all()
+
+
+def test_epochs_mix_copy_semantics(ray_session):
+    """epochs_mix: every row gets floor(e) copies, the fractional copy
+    is md5-keyed (layout-independent), and epoch indices are dense."""
+    import ray.data
+    from web_scraper_ray.ops.sampling import epochs_mix
+
+    docs = [{"doc_id": i, "source": "a" if i % 2 else "b"}
+            for i in range(400)]
+    mix = {"a": 230, "b": 50}
+    outs = []
+    for blocks in (1, 9):
+        ds = ray.data.from_items(docs, override_num_blocks=blocks)
+        df = (epochs_mix(ds, mix).to_pandas()
+              .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])  # layout-independent
+    df = outs[0]
+    per = df.groupby("doc_id").size()
+    a_ids = [i for i in range(400) if i % 2]
+    b_ids = [i for i in range(400) if not i % 2]
+    # group a: 2 or 3 copies each; group b: 0 or 1
+    assert set(per.reindex(a_ids, fill_value=0)) <= {2, 3}
+    assert set(per.reindex(b_ids, fill_value=0)) <= {0, 1}
+    # fractional rates land near 30% / 50%
+    extra_a = (per.reindex(a_ids, fill_value=0) == 3).mean()
+    kept_b = (per.reindex(b_ids, fill_value=0) == 1).mean()
+    assert 0.18 < extra_a < 0.42 and 0.38 < kept_b < 0.62
+    # epoch indices dense from 0
+    for _, g in df.groupby("doc_id"):
+        assert list(g["epoch"]) == list(range(len(g)))

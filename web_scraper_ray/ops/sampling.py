@@ -443,3 +443,55 @@ def bottom_k_sample(
     return (ds.map_batches(local, batch_format="pandas")
             .sort(["__h", key_col]).limit(k)
             .drop_columns(["__h"]))
+
+
+def epochs_mix(
+    ds: ray.data.Dataset,
+    epochs_e2: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_e2: int = 100,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Fractional-epoch data mixing — the repeat-factor step of a real
+    training recipe (LLaMA/Gopher mix tables repeat curated sources
+    1-3+ epochs while crawl gets < 1): a group with ``epochs_e2=230``
+    (2.30 epochs) contributes every row twice, plus a deterministic
+    md5-keyed 30% of rows a third time. Output rows carry an ``epoch``
+    copy index (0-based) so downstream shuffling/packing can
+    interleave copies.
+
+    Exactness: epochs are FIXED-POINT hundredths; the fractional copy
+    keeps row k iff ``hash(seed:k) * 100 < (e2 % 100) << 64`` — both
+    sides exact integers, replayed verbatim in HUGEINT by the SQL twin
+    (``oracle_sql()['epochs_mix']``), so the mix is hash-checkable and
+    stable under parallelism, resume and corpus growth (the module's
+    no-RNG rule). A pure per-row flat_map: no shuffle, no state; at
+    100 TB the copies are metadata until a downstream stage
+    materializes text, so mix BEFORE packing, after curation."""
+    for g, e in epochs_e2.items():
+        if e < 0:
+            raise ValueError(f"epochs_e2[{g!r}] must be >= 0, got {e}")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        e2 = (df[group_col].map(epochs_e2).fillna(default_e2)
+              .astype("int64").to_numpy())
+        full = e2 // 100
+        frac = e2 % 100
+        h = _key_hash(df[key_col], seed)
+        # h * 100 < frac << 64, carried out as h < ceil(frac<<64 / 100)
+        # (exact: equality h*100 == frac<<64 cannot occur when the
+        # ceiling adjusts, since frac<<64 is never a multiple of 100
+        # unless frac is — 100 and 2^64 share only the factor 4)
+        thr = np.array([((int(f) << 64) + 99) // 100 for f in frac],
+                       dtype=np.uint64)
+        n_copies = full + (h < thr).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), n_copies)
+        out = df.iloc[idx].reset_index(drop=True)
+        # 0..n_copies-1 within each source row
+        starts = np.cumsum(n_copies) - n_copies
+        out["epoch"] = (np.arange(len(idx), dtype=np.int64)
+                        - np.repeat(starts, n_copies))
+        return out
+
+    return ds.map_batches(expand, batch_format="pandas")
