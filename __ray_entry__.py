@@ -1220,6 +1220,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return binned_quantiles(ds, "n_chars", bin_width=64)
 
+    def q_hash_embed(sf_dir: str):
+        # feature-hashing text embedder as an actor-pool inference
+        # stage (ops/embed.py): signed integer counts, 16 dims per
+        # doc, zeros included
+        from web_scraper_ray.ops.embed import hash_embed
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return hash_embed(ds)
+
     def q_epochs_mix(sf_dir: str):
         # fractional-epoch repeat factors (ops/sampling.py:
         # epochs_mix): src0 x2.50, src1 x1.70, src2 x0.30, rest x1 —
@@ -1914,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": q_heavy_tokens,
         "binned_length_quantiles": q_binned_length_quantiles,
         "epochs_mix": q_epochs_mix,
+        "hash_embed": q_hash_embed,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3754,6 +3766,32 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # feature-hashing embedder (ops/embed.py): dim = md5 byte 1
+        # mod 16, sign = byte 2 lsb, signed integer count sums; the
+        # dims cross join pins the zero rows
+        "hash_embed": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ),
+            ts AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 3, 2))::INT % 16 AS dim,
+                       CASE WHEN ('0x' || substr(md5(tok), 5, 2))::INT % 2
+                                 = 1
+                            THEN 1 ELSE -1 END AS s
+                FROM tok
+            ),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+            agg AS (SELECT doc_id, dim, sum(s)::BIGINT AS v
+                    FROM ts GROUP BY doc_id, dim)
+            SELECT d.doc_id, CAST(dm.dim AS BIGINT) AS dim,
+                   COALESCE(a.v, 0)::BIGINT AS value
+            FROM documents d CROSS JOIN dims dm
+            LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.dim = dm.dim
         """,
         # fractional-epoch mixing (ops/sampling.py:epochs_mix): copy
         # counts = e2//100 + the HUGEINT cross-multiplied fractional

@@ -1822,3 +1822,30 @@ def test_epochs_mix_copy_semantics(ray_session):
     # epoch indices dense from 0
     for _, g in df.groupby("doc_id"):
         assert list(g["epoch"]) == list(range(len(g)))
+
+
+def test_hash_embed_linearity_and_state(ray_session):
+    """hash_embed: vectors are signed token-count sums (linear in the
+    bag of words), 16 dims per doc including zeros, actor-cache state
+    never changes results across batch layouts."""
+    import ray.data
+    from web_scraper_ray.ops.embed import EMBED_DIM, hash_embed
+
+    docs = [{"doc_id": 1, "text": "alpha beta alpha"},
+            {"doc_id": 2, "text": "alpha beta alpha alpha beta alpha"},
+            {"doc_id": 3, "text": ""}]
+    outs = []
+    for blocks in (1, 3):
+        ds = ray.data.from_items(docs, override_num_blocks=blocks)
+        df = (hash_embed(ds).to_pandas()
+              .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert (df.groupby("doc_id").size() == EMBED_DIM).all()
+    v1 = df[df.doc_id == 1].set_index("dim")["value"]
+    v2 = df[df.doc_id == 2].set_index("dim")["value"]
+    v3 = df[df.doc_id == 3].set_index("dim")["value"]
+    assert (v2 == 2 * v1).all()      # doubled text -> doubled vector
+    assert (v3 == 0).all()           # empty doc -> zero vector
+    assert v1.abs().sum() > 0
