@@ -1220,6 +1220,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return binned_quantiles(ds, "n_chars", bin_width=64)
 
+    def q_late_events(sf_dir: str):
+        # watermark / late-data flags (ops/relational.py:
+        # late_event_flags): md5-jittered arrival order within day
+        # buckets, exclusive prefix-max frontier, 6 h allowed lateness
+        from web_scraper_ray.ops.relational import late_event_flags
+
+        return late_event_flags(sf_dir, allowed_lateness_s=21600,
+                                bucket_s=86400)
+
     def q_hash_embed(sf_dir: str):
         # feature-hashing text embedder as an actor-pool inference
         # stage (ops/embed.py): signed integer counts, 16 dims per
@@ -1926,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binned_length_quantiles": q_binned_length_quantiles,
         "epochs_mix": q_epochs_mix,
         "hash_embed": q_hash_embed,
+        "late_events": q_late_events,
         "bpe_merges": q_bpe_merges,
         "lm_buckets": q_lm_buckets,
         "approx_distinct_events": q_approx_distinct_events,
@@ -3766,6 +3776,35 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN ptot CROSS JOIN ntot
             ORDER BY w_bits DESC, token ASC
             LIMIT 50
+        """,
+        # watermark / late-data flags (ops/relational.py): window max
+        # over the md5-jittered arrival order, exclusive frame
+        "late_events": """
+            WITH a AS (
+                SELECT event_id, ts,
+                       epoch_us(ts) // 86400000000 AS mbkt,
+                       ('0x' || substr(md5('17:' || event_id), 1, 16))::UBIGINT
+                           AS h
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, mbkt, ts,
+                       max(ts) OVER (
+                           ORDER BY mbkt, h, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM a
+            )
+            SELECT event_id,
+                   CAST(mbkt AS BIGINT) AS arrival_bucket,
+                   CAST(greatest(COALESCE(epoch_us(prev_max)
+                                          - epoch_us(ts), 0), 0) // 1000
+                        AS BIGINT) AS behind_ms,
+                   CAST(CASE WHEN COALESCE(epoch_us(prev_max)
+                                           - epoch_us(ts), 0)
+                                  > 21600000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS late
+            FROM w
         """,
         # feature-hashing embedder (ops/embed.py): dim = md5 byte 1
         # mod 16, sign = byte 2 lsb, signed integer count sums; the

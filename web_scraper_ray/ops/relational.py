@@ -482,3 +482,116 @@ def sliding_window_counts(sf_dir: str, hours: int = 1,
     return (ev.map_batches(bucket, batch_format="pandas")
             .groupby("bucket")
             .map_groups(count_windows, batch_format="pandas"))
+
+
+def late_event_flags(sf_dir: str, allowed_lateness_s: int = 21600,
+                     bucket_s: int = 86400,
+                     n_buckets: int = 64) -> ray.data.Dataset:
+    """Watermark / late-data semantics — the fourth window-family
+    member next to tumbling (``events_hourly``), gap-sessionized
+    (``session_windows``) and sliding (``sliding_window_counts``):
+    each event's ARRIVAL position is the deterministic md5-jittered
+    order ``(ts // bucket_s, md5('17:'||event_id), event_id)`` (the
+    synthetic stand-in for network reordering, bounded by one bucket —
+    the corpus's event times are monotone, so disorder must be
+    modeled; the default day bucket vs 6 h allowed lateness yields a
+    nontrivial late set at the testdata's ~1-30 events/hour density), the frontier after each arrival is the running max of
+    event time, and an event is LATE iff it trails the frontier of
+    its arrival position by more than ``allowed_lateness_s`` (the
+    exclusive prefix — an event never makes itself late). Emits
+    ``(event_id, arrival_bucket, behind_ms, late)``.
+
+    Distributed shape — the prefix max FACTORS over contiguous arrival
+    buckets, so no global sort exists: pass 1 is a per-batch
+    (bucket, max) combiner folded by one tiny task into the exclusive
+    per-bucket carry-in table (bucket cardinality is buckets-of-
+    corpus, bounded by the op's contract; the table broadcasts from
+    the object store); pass 2 shuffles rows once on a coarse hash of
+    the arrival bucket and resolves each group locally (sorted cummax +
+    carry). All integer microsecond arithmetic — the SQL twin
+    (``oracle_sql()['late_events']``) is a plain window max replayed
+    bit-for-bit."""
+    import hashlib
+
+    import ray as _ray
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    lateness_us = int(allowed_lateness_s) * 1_000_000
+
+    def _hash(ids) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"17:{i}".encode()).digest()[:8], "big")
+             for i in ids), dtype=np.uint64, count=len(ids))
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "us": us,
+            "mbkt": us // (int(bucket_s) * 1_000_000),
+            "h": _hash(df["event_id"].to_numpy()),
+        })
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = keyed(df).groupby("mbkt", sort=False)["us"].max()
+        return pd.DataFrame({"mbkt": g.index.to_numpy(),
+                             "mx": g.to_numpy().astype("int64")})
+
+    @_ray.remote(num_cpus=0)
+    def fold_carry(*tables) -> dict:
+        """mbkt -> max event time over ALL STRICTLY EARLIER buckets."""
+        agg: dict[int, int] = {}
+        for t in tables:
+            for m, x in zip(t.column("mbkt").to_pylist(),
+                            t.column("mx").to_pylist()):
+                agg[m] = max(agg.get(m, x), x)
+        carry, run = {}, None
+        for m in sorted(agg):
+            carry[m] = run
+            run = agg[m] if run is None else max(run, agg[m])
+        return carry
+
+    partials = ev.map_batches(max_partial, batch_format="pandas")
+    carry_ref = fold_carry.remote(*partials.to_arrow_refs())
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        carry = _ray.get(carry_ref)
+        part = part.sort_values(["mbkt", "h", "event_id"],
+                                kind="mergesort")
+        out = []
+        for m, g in part.groupby("mbkt", sort=False):
+            us = g["us"].to_numpy()
+            cmax = np.maximum.accumulate(us)
+            prev = np.empty(len(g), dtype="float64")
+            prev[0] = -np.inf
+            prev[1:] = cmax[:-1]
+            c = carry.get(int(m))
+            if c is not None:
+                prev = np.maximum(prev, float(c))
+            behind_us = np.maximum(prev - us, 0)
+            behind_us[np.isinf(prev)] = 0  # first event overall
+            behind_us = behind_us.astype(np.int64)
+            out.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(),
+                "arrival_bucket": g["mbkt"].to_numpy(),
+                "behind_ms": behind_us // 1000,
+                "late": (behind_us > lateness_us).astype("int64"),
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "arrival_bucket": pd.Series([], dtype="int64"),
+                "behind_ms": pd.Series([], dtype="int64"),
+                "late": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    def add_cbkt(df: pd.DataFrame) -> pd.DataFrame:
+        k = keyed(df)
+        k["cbkt"] = k["mbkt"] % n_buckets
+        return k
+
+    return (ev.map_batches(add_cbkt, batch_format="pandas")
+            .groupby("cbkt")
+            .map_groups(resolve, batch_format="pandas"))
