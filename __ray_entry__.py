@@ -694,6 +694,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             nb_min_margin_e2=-18,
         )
 
+    def q_release_assignments(sf_dir: str):
+        # the CAPSTONE composite — a full webtext release under ONE
+        # hash check: curation v3 (heuristics + repetition + decontam
+        # + LM gate + NB classifier + exact dedup + langid) → language
+        # -weighted fractional-epoch mix (en x1.50, zh x0.80) →
+        # shuffled sequence packing at seqlen 512. Every training
+        # sequence's (copy, rank, token offset) assignment is
+        # deterministic end to end.
+        from web_scraper_ray.ops.sampling import epochs_mix
+        from web_scraper_ray.ops.shuffle import pack_sequences
+        from web_scraper_ray.pipelines.training_corpus import training_corpus_ds
+
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        _, bench = _bench_docs(sf_dir)
+        v3 = training_corpus_ds(
+            ds, near_dedup=False, repetition=True, decontam_bench=bench,
+            lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
+            nb_pos=_nb_pos(sf_dir), nb_neg=_nb_neg(sf_dir),
+            nb_min_margin_e2=-18,
+        ).select_columns(["doc_id", "est_tokens", "pred_lang"])
+        mixed = epochs_mix(v3, {"en": 150, "zh": 80},
+                           group_col="pred_lang", key_col="doc_id")
+
+        def mk_copy(df):
+            import pandas as pd
+
+            out = pd.DataFrame({
+                "copy_id": (df["doc_id"].astype(str) + ":"
+                            + df["epoch"].astype(str)),
+                "est_tokens": df["est_tokens"].to_numpy(),
+            })
+            return out
+
+        packed = pack_sequences(
+            mixed.map_batches(mk_copy, batch_format="pandas"),
+            seqlen=512, weight_col="est_tokens", id_col="copy_id")
+        return packed
+
     def q_near_dedup(sf_dir: str):
         import ray.data
         from web_scraper_ray.ops.dedup import remove_near_duplicates
@@ -1894,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_full": q_training_corpus_full,
         "training_corpus_v2": q_training_corpus_v2,
         "training_corpus_v3": q_training_corpus_v3,
+        "release_assignments": q_release_assignments,
         "near_dedup": q_near_dedup,
         "similarity_topk": q_similarity_topk,
         "quantized_topk": q_quantized_topk,
@@ -4163,6 +4204,65 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN ({_decontam_survivors_sql()})
               AND doc_id IN ({_lm_head_ids_sql()})
               AND doc_id IN ({_nb_gate_ids_sql()})"""),
+        # the CAPSTONE: v3 survivors (the full curation chain nested
+        # as one CTE) → language-weighted fractional-epoch explode →
+        # md5-shuffled weighted prefix-sum packing, all in one query
+        "release_assignments": f"""
+            WITH v3 AS ({_training_corpus_sql(extra_pred=f'''
+              AND doc_id IN ({_repetition_filter_sql()})
+              AND doc_id IN ({_decontam_survivors_sql()})
+              AND doc_id IN ({_lm_head_ids_sql()})
+              AND doc_id IN ({_nb_gate_ids_sql()})''')}),
+            e AS (
+                SELECT doc_id, est_tokens,
+                       CASE pred_lang WHEN 'en' THEN 150
+                            WHEN 'zh' THEN 80 ELSE 100 END AS e2,
+                       ('0x' || substr(md5('17:' || doc_id), 1, 16))::UBIGINT
+                           AS h
+                FROM v3
+            ),
+            c AS (
+                SELECT doc_id, est_tokens,
+                       e2 // 100
+                       + CASE WHEN h::HUGEINT * 100
+                                   < (e2 % 100)::HUGEINT
+                                     * 18446744073709551616::HUGEINT
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM e
+            ),
+            m AS (
+                SELECT doc_id, est_tokens,
+                       unnest(generate_series(0, n_copies - 1)) AS epoch
+                FROM c
+            ),
+            keyed AS (
+                SELECT doc_id || ':' || epoch AS copy_id,
+                       est_tokens AS w,
+                       ('0x' || substr(md5('17:' || doc_id || ':'
+                                           || epoch), 1, 16))::UBIGINT
+                           AS k
+                FROM m
+            )
+            SELECT copy_id,
+                   CAST(row_number() OVER (ORDER BY k, copy_id) - 1
+                        AS BIGINT) AS rank,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, copy_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tok_start,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, copy_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 512
+                        AS BIGINT) AS seq_id,
+                   CAST(COALESCE(SUM(w) OVER (
+                            ORDER BY k, copy_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) % 512
+                        AS BIGINT) AS seq_off
+            FROM keyed
+        """,
         "minhash_exhaustive": _minhash_exhaustive_sql(),
         "minhash_clusters_exhaustive": _minhash_clusters_exhaustive_sql(),
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
