@@ -278,6 +278,30 @@ def _nb_gate_ids_sql(min_margin_e2: int = -18) -> str:
     """
 
 
+def _nb_top_ids_sql(keep_pct: int = 30) -> str:
+    """Subquery of the doc ids in the corpus's top ``keep_pct`` percent
+    by NB margin (ops/classifier.py:nb_filter_top): the shifted mean
+    margin (+6400 e2 keeps it non-negative — DuckDB ``//`` truncates,
+    Python floors; they agree only on the non-negative domain), cut at
+    the integer quantile rule's (100-keep_pct)-th percentile."""
+    return _NB_SQL + f"""
+            , agg AS (
+                SELECT doc_id,
+                       (100 * (sum(nbits) - sum(pbits))::BIGINT
+                        + 6400 * count(*)::BIGINT) // count(*)::BIGINT
+                           AS mm
+                FROM b GROUP BY doc_id
+            ),
+            vc AS (SELECT mm AS v, count(*)::BIGINT AS c
+                   FROM agg GROUP BY mm),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM vc),
+            nn AS (SELECT count(*)::BIGINT AS n FROM agg),
+            cut AS (SELECT MIN(v) AS v FROM cum, nn
+                    WHERE cc >= ({100 - keep_pct} * nn.n + 99) // 100)
+            SELECT doc_id FROM agg, cut WHERE agg.mm >= cut.v
+    """
+
+
 def _training_corpus_sql(extra_pred: str = "") -> str:
     """The composite pipeline's DuckDB twin: quality-gated stats →
     md5 exact dedup AMONG SURVIVORS (min doc_id wins) → langid +
@@ -691,7 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, near_dedup=False, repetition=True, decontam_bench=bench,
             lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
             nb_pos=_nb_pos(sf_dir), nb_neg=_nb_neg(sf_dir),
-            nb_min_margin_e2=-18,
+            nb_keep_pct=30, nb_population=ds,
         )
 
     def q_release_assignments(sf_dir: str):
@@ -714,7 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, near_dedup=False, repetition=True, decontam_bench=bench,
             lm_target=_lm_target(sf_dir), lm_max_mean_bits_e2=413,
             nb_pos=_nb_pos(sf_dir), nb_neg=_nb_neg(sf_dir),
-            nb_min_margin_e2=-18,
+            nb_keep_pct=30, nb_population=ds,
         ).select_columns(["doc_id", "est_tokens", "pred_lang"])
         mixed = epochs_mix(v3, {"en": 150, "zh": 80},
                            group_col="pred_lang", key_col="doc_id")
@@ -1147,19 +1171,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return nb_scores(ds, _nb_pos(sf_dir), _nb_neg(sf_dir))
 
     def q_nb_gate(sf_dir: str):
-        # the classifier GATE at -0.18 bits/token mean margin (the
-        # synthetic corpus's 31-token vocabulary quantizes margins
-        # coarsely; -18 e2 sits between its p50 and p75, a nontrivial
-        # seed-like split) — integer cross-multiplied decision, no
-        # division
-        from web_scraper_ray.ops.classifier import nb_filter
+        # the self-calibrating classifier GATE: top 30% of the corpus
+        # by NB margin (ops/classifier.py:nb_filter_top — the cut is
+        # the corpus's own 70th percentile of the shifted mean margin,
+        # so the gate does real work at EVERY sf; an absolute
+        # threshold calibrated on one corpus was vacuous on the next)
+        from web_scraper_ray.ops.classifier import nb_filter_top
 
         ds = sized_read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source"],
         )
-        kept = nb_filter(ds, _nb_pos(sf_dir), _nb_neg(sf_dir),
-                         min_margin_e2=-18)
+        kept = nb_filter_top(ds, _nb_pos(sf_dir), _nb_neg(sf_dir),
+                             keep_pct=30)
         return kept.select_columns(["doc_id", "lang", "source"])
 
     def q_nb_top_tokens(sf_dir: str):
@@ -3787,19 +3811,12 @@ def oracle_sql() -> dict[str, str]:
                    (sum(nbits) - sum(pbits))::BIGINT AS margin_bits
             FROM b GROUP BY doc_id
         """,
-        # the classifier gate at -0.18 bits/token: pure-integer
-        # cross-multiplied decision (100*margin >= -18*n), exact on
-        # negative margins because there is no division
-        "nb_gate": _NB_SQL + """
-            , agg AS (
-                SELECT doc_id,
-                       count(*)::BIGINT AS n_tokens,
-                       (sum(nbits) - sum(pbits))::BIGINT AS margin_bits
-                FROM b GROUP BY doc_id
-            )
+        # the self-calibrating classifier gate: top 30% by shifted
+        # mean margin, cut at the corpus's own 70th percentile
+        "nb_gate": f"""
             SELECT d.doc_id, d.lang, d.source
-            FROM documents d JOIN agg USING (doc_id)
-            WHERE 100 * agg.margin_bits >= -18 * agg.n_tokens
+            FROM documents d
+            WHERE d.doc_id IN ({_nb_top_ids_sql(30)})
         """,
         # the model's 50 most seed-discriminative tokens: full-outer
         # union vocabulary, whole-bit weight, (w desc, token) order
@@ -4203,7 +4220,7 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN ({_repetition_filter_sql()})
               AND doc_id IN ({_decontam_survivors_sql()})
               AND doc_id IN ({_lm_head_ids_sql()})
-              AND doc_id IN ({_nb_gate_ids_sql()})"""),
+              AND doc_id IN ({_nb_top_ids_sql(30)})"""),
         # the CAPSTONE: v3 survivors (the full curation chain nested
         # as one CTE) → language-weighted fractional-epoch explode →
         # md5-shuffled weighted prefix-sum packing, all in one query
@@ -4212,7 +4229,7 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN ({_repetition_filter_sql()})
               AND doc_id IN ({_decontam_survivors_sql()})
               AND doc_id IN ({_lm_head_ids_sql()})
-              AND doc_id IN ({_nb_gate_ids_sql()})''')}),
+              AND doc_id IN ({_nb_top_ids_sql(30)})''')}),
             e AS (
                 SELECT doc_id, est_tokens,
                        CASE pred_lang WHEN 'en' THEN 150

@@ -107,3 +107,35 @@ def test_nb_top_tokens_union_vocab(planted):
     assert list(got["w_bits"]) == sorted(got["w_bits"], reverse=True)
     row = got.set_index("token").loc["good"]
     assert (row["c_pos"], row["c_neg"]) == (8, 0)
+
+
+def test_nb_filter_top_self_calibrating(planted, ray_session):
+    """nb_filter_top keeps ~keep_pct% by the corpus's own margin
+    percentile, and an external population fixes the cut."""
+    import ray.data
+    from web_scraper_ray.ops.classifier import nb_filter_top, nb_scores
+
+    _, pos, neg = planted
+    rng = __import__("random").Random(3)
+    words = ["good", "quality", "prose", "spam", "junk", "noise", "shared"]
+    docs = [{"doc_id": i,
+             "text": " ".join(rng.choice(words) for _ in range(12))}
+            for i in range(300)]
+    ds = ray.data.from_items(docs)
+    kept = nb_filter_top(ds, pos, neg, keep_pct=30).to_pandas()
+    frac = len(kept) / 300
+    assert 0.25 <= frac <= 0.45  # percentile rule + value ties
+    # kept docs have margins >= every dropped doc's margin (scaled)
+    sc = nb_scores(ds, pos, neg).to_pandas()
+    sc["mm"] = (100 * sc["margin_bits"] + 6400 * sc["n_tokens"]) // sc["n_tokens"]
+    kept_ids = set(kept["doc_id"])
+    mm_kept = sc.loc[sc.doc_id.isin(kept_ids), "mm"]
+    mm_drop = sc.loc[~sc.doc_id.isin(kept_ids), "mm"]
+    assert mm_kept.min() > mm_drop.max() or mm_kept.min() >= mm_drop.max()
+    # a stricter external population raises the cut
+    elite = ray.data.from_items(
+        [{"doc_id": 10_000 + i, "text": "good quality prose"}
+         for i in range(50)])
+    kept_elite = nb_filter_top(ds, pos, neg, keep_pct=30,
+                               population=elite).to_pandas()
+    assert len(kept_elite) < len(kept)

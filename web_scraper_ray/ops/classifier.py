@@ -66,7 +66,7 @@ import ray.data
 from web_scraper_ray.ops.decontam import _TOKEN_RE
 from web_scraper_ray.ops.lm import _target_bits_ref
 
-__all__ = ["nb_scores", "nb_filter", "nb_top_tokens"]
+__all__ = ["nb_scores", "nb_filter", "nb_filter_top", "nb_top_tokens"]
 
 
 def _dual_doc_bits(df: pd.DataFrame, bits_p: dict, oov_p: int,
@@ -136,8 +136,10 @@ def nb_filter(
     cross-multiplication ``100 * margin_bits >= min_margin_e2 *
     n_tokens`` — no division, so negative margins replay exactly in
     SQL. Scoring fuses into the filter scan (full rows never
-    reshuffle); zero-token docs are dropped (no evidence). Oracle:
-    ``oracle_sql()['nb_gate']``."""
+    reshuffle); zero-token docs are dropped (no evidence). An absolute
+    threshold only makes sense against a known corpus — the
+    driver-checked gate is the self-calibrating :func:`nb_filter_top`;
+    this variant is pytest-covered."""
     ref_p = _target_bits_ref(pos, text_col)
     ref_n = _target_bits_ref(neg, text_col)
 
@@ -222,3 +224,70 @@ def nb_top_tokens(
             .map_groups(fold, batch_format="pandas")
             .sort(["w_bits", "token"], descending=[True, False])
             .limit(k))
+
+
+#: shift that keeps the mean-margin scalar non-negative: per-token
+#: margin is bounded below by -63 (a pos-class surprisal is at most
+#: bitlen(T)-1 <= 63 bits, the neg side at least 0), so
+#: 100*margin + 6400*n >= 100n > 0. Non-negativity matters because
+#: DuckDB's integer ``//`` truncates toward zero while Python's
+#: floors — on the non-negative domain they agree bit-for-bit.
+MM_SHIFT_E2 = 6400
+
+
+def _mm_series(scored: pd.DataFrame) -> np.ndarray:
+    """Per-doc shifted mean margin (fixed-point hundredth bits):
+    ``(100*margin + 6400*n) // n`` — the order statistic the
+    percentile gate cuts on."""
+    n = scored["n_tokens"].to_numpy()
+    m = scored["margin_bits"].to_numpy()
+    return (100 * m + MM_SHIFT_E2 * n) // n
+
+
+def nb_filter_top(
+    ds: ray.data.Dataset,
+    pos: ray.data.Dataset,
+    neg: ray.data.Dataset,
+    keep_pct: int = 30,
+    population: ray.data.Dataset | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """The DCLM-style SELF-CALIBRATING gate: keep the rows of ``ds``
+    whose shifted mean NB margin reaches the ``(100 - keep_pct)``-th
+    percentile of the ``population`` (default: ``ds`` itself) — "top
+    keep_pct% of the corpus by classifier score", the way production
+    classifier gates actually pick their threshold (an absolute margin
+    cut calibrated on one corpus is vacuous or empty on the next; the
+    repo measured exactly that between its own sf scales). The cut
+    uses the integer quantile rule (``ops/stats.py``) on the shifted
+    scalar (:data:`MM_SHIFT_E2` — non-negative, so Python/DuckDB
+    division agree), computed once and broadcast; scoring fuses into
+    the filter scan. Oracle: ``oracle_sql()['nb_gate']`` and the
+    ``_nb_top_ids_sql`` predicate inside the v3/release composites."""
+    from web_scraper_ray.ops.stats import quantiles_ref
+
+    ref_p = _target_bits_ref(pos, text_col)
+    ref_n = _target_bits_ref(neg, text_col)
+
+    def mm_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bits_p, oov_p = ray.get(ref_p)
+        bits_n, oov_n = ray.get(ref_n)
+        scored = _dual_doc_bits(df, bits_p, oov_p, bits_n, oov_n,
+                                id_col, text_col)
+        scored["mm"] = _mm_series(scored)
+        return scored
+
+    pop = population if population is not None else ds
+    cut_ref = quantiles_ref(
+        pop.select_columns([id_col, text_col]).map_batches(
+            mm_rows, batch_format="pandas"),
+        "mm", (100 - keep_pct,))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cut = int(ray.get(cut_ref)["value"].iloc[0])
+        scored = mm_rows(df)
+        ok = scored.loc[scored["mm"] >= cut, id_col]
+        return df.loc[df[id_col].isin(set(ok.to_numpy()))]
+
+    return ds.map_batches(keep, batch_format="pandas")

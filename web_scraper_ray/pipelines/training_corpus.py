@@ -56,7 +56,9 @@ def training_corpus_ds(
     lm_max_mean_bits_e2: int = 413,
     nb_pos: Optional[ray.data.Dataset] = None,
     nb_neg: Optional[ray.data.Dataset] = None,
-    nb_min_margin_e2: int = 0,
+    nb_min_margin_e2: Optional[int] = None,
+    nb_keep_pct: Optional[int] = None,
+    nb_population: Optional[ray.data.Dataset] = None,
     **quality_kwargs,
 ) -> ray.data.Dataset:
     """documents(id, text) → the curated corpus Dataset (CORPUS_COLUMNS).
@@ -102,11 +104,24 @@ def training_corpus_ds(
                                  id_col=id_col)
     if nb_pos is not None and nb_neg is not None:
         # DCLM-style classifier gate (ops/classifier.py): the last of
-        # the pure per-doc filters, still before any shuffle
-        from ..ops.classifier import nb_filter
+        # the pure per-doc filters, still before any shuffle. The
+        # percentile form (nb_keep_pct, cut calibrated on
+        # nb_population — normally the FULL corpus, so the threshold
+        # is corpus-relative the way production gates pick theirs)
+        # and the absolute form (nb_min_margin_e2) are exclusive.
+        if nb_keep_pct is not None:
+            from ..ops.classifier import nb_filter_top
 
-        gated = nb_filter(gated, nb_pos, nb_neg,
-                          min_margin_e2=nb_min_margin_e2, id_col=id_col)
+            gated = nb_filter_top(gated, nb_pos, nb_neg,
+                                  keep_pct=nb_keep_pct,
+                                  population=nb_population,
+                                  id_col=id_col)
+        else:
+            from ..ops.classifier import nb_filter
+
+            gated = nb_filter(gated, nb_pos, nb_neg,
+                              min_margin_e2=nb_min_margin_e2 or 0,
+                              id_col=id_col)
     deduped = exact_dedup(gated, text_col="text", id_col=id_col)
     if near_dedup:
         deduped = remove_near_duplicates(
