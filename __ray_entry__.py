@@ -1843,6 +1843,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(as_int, batch_format="pandas")
 
+    def q_url_gate(sf_dir: str):
+        # RefinedWeb/FineWeb-style URL pre-fetch gate (ops/urlgate.py):
+        # synthesize a deterministic URL per document exercising every
+        # rule (blocklisted tracker host, 'casino' token, repeat-x
+        # overlength, deep d/ path, digit-heavy suffix — all doc_id
+        # arithmetic the SQL twin regenerates verbatim), then run the
+        # REAL vectorized gate and hash-check the full verdict table.
+        import numpy as np
+        import pandas as pd
+
+        from web_scraper_ray.ops.urlgate import url_gate
+
+        docs = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "source"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"]
+            ds_ = d.astype(str)
+            host = pd.Series(
+                np.where(d % 7 == 0, "ads.tracker.example",
+                         df["source"] + ".example.com"),
+                index=df.index)
+            seg = pd.Series(["d/"] * len(df),
+                            index=df.index).str.repeat(d % 9)
+            mid = pd.Series(np.where(d % 11 == 5, "casino-", "page-"),
+                            index=df.index)
+            longx = pd.Series(["x"] * len(df),
+                              index=df.index).str.repeat(
+                np.where(d % 13 == 3, 90, 0))
+            digity = pd.Series(
+                np.where(d % 17 == 2, "-" + ds_.str.repeat(8), ""),
+                index=df.index)
+            return pd.DataFrame({
+                "doc_id": d,
+                "url": ("https://" + host + "/" + seg + mid + ds_
+                        + longx + digity),
+            })
+
+        urls = docs.map_batches(synth, batch_format="pandas")
+        return url_gate(
+            urls,
+            blocked_hosts=frozenset({"ads.tracker.example"}),
+            banned_tokens=("casino",),
+            max_len=100, max_depth=6, max_digit_pct=25,
+        )
+
     def q_pagerank(sf_dir: str):
         # link-graph PageRank over the fixed-path synthetic corpus:
         # kernel-extracted <a href> edges (ops/graph.py:link_edges) →
@@ -2030,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "cap_per_source": q_cap_per_source,
         "c4_line_filter": q_c4_line_filter,
+        "url_gate": q_url_gate,
         "pack_sequences": q_pack_sequences,
         "token_budget_head": q_token_budget_head,
         "rebalance_mix": q_rebalance_mix,
@@ -4303,6 +4350,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10
         """,
         "c4_line_filter": _c4_line_filter_sql(),
+        # URL pre-fetch gate (ops/urlgate.py): regenerates the
+        # synthesized URL (same doc_id arithmetic) and replays every
+        # rule — blocked host, 'casino' contains, length>100,
+        # slash-depth>6, cross-multiplied digit ratio — as the same
+        # bitmask
+        "url_gate": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN 'ads.tracker.example'
+                               ELSE source || '.example.com' END
+                       || '/' || repeat('d/', (doc_id % 9)::INT)
+                       || CASE WHEN doc_id % 11 = 5
+                               THEN 'casino-' ELSE 'page-' END
+                       || doc_id::VARCHAR
+                       || CASE WHEN doc_id % 13 = 3
+                               THEN repeat('x', 90) ELSE '' END
+                       || CASE WHEN doc_id % 17 = 2
+                               THEN '-' || repeat(doc_id::VARCHAR, 8)
+                               ELSE '' END AS url
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                           AS host,
+                       (CASE WHEN regexp_extract(url,
+                                  '^[a-z]+://([^/]+)', 1)
+                                  = 'ads.tracker.example'
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN contains(lower(url), 'casino')
+                               THEN 2 ELSE 0 END
+                        + CASE WHEN length(url) > 100
+                               THEN 4 ELSE 0 END
+                        + CASE WHEN length(url)
+                                    - length(replace(url, '/', ''))
+                                    - 2 > 6
+                               THEN 8 ELSE 0 END
+                        + CASE WHEN 100 * length(regexp_replace(
+                                          url, '[^0-9]', '', 'g'))
+                                    > 25 * length(url)
+                               THEN 16 ELSE 0 END)::BIGINT AS flags
+                FROM urls
+            )
+            SELECT doc_id, url, host, flags,
+                   (flags = 0)::BIGINT AS kept
+            FROM f
+        """,
         # pack_sequences: the shuffle_ranks key order with a weighted
         # prefix-sum window; weights are the est_tokens estimator
         "pack_sequences": """
