@@ -68,6 +68,15 @@ def url_gate_frame(
 ) -> pd.DataFrame:
     """Append ``host`` / ``flags`` / ``kept`` verdict columns to one
     pandas batch (the per-batch kernel behind :func:`url_gate`)."""
+    if not len(df):
+        # keep dtypes pinned on empty blocks (object→Arrow-null would
+        # fight schema unification downstream)
+        out = df.copy()
+        out[url_col] = out[url_col].astype("string")
+        out["host"] = pd.Series([], dtype="string")
+        out["flags"] = pd.Series([], dtype="int64")
+        out["kept"] = pd.Series([], dtype="int64")
+        return out
     url = df[url_col].fillna("")
     host = url.str.extract(r"^[a-z]+://([^/]+)", expand=False).fillna("")
     lower = url.str.lower()
