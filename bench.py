@@ -299,6 +299,18 @@ def run_bench() -> dict:
         heavy_hitters(docs11, min_frac_e4=100).count()
         queries["heavy_tokens"] = round(time.time() - t0, 3)
 
+        # URL pre-fetch gate over the full pages frontier (the
+        # crawl-scale input — one vectorized scan, no shuffle)
+        t0 = time.time()
+        import ray.data
+
+        from web_scraper_ray.ops.urlgate import url_gate
+
+        frontier_urls = ray.data.read_parquet(
+            f"{corpus}/pages", columns=["url"])
+        url_gate(frontier_urls).count()
+        queries["url_gate"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",
