@@ -139,3 +139,18 @@ def test_nb_filter_top_self_calibrating(planted, ray_session):
     kept_elite = nb_filter_top(ds, pos, neg, keep_pct=30,
                                population=elite).to_pandas()
     assert len(kept_elite) < len(kept)
+
+
+def test_nb_filter_top_empty_population(planted, ray_session):
+    """An empty (or all-zero-token) calibration population has no
+    quantile: the gate keeps nothing instead of crashing on int(NaN)
+    inside the scoring tasks."""
+    import ray.data
+    from web_scraper_ray.ops.classifier import nb_filter_top
+
+    docs, pos, neg = planted
+    empty_pop = ray.data.from_items(
+        [{"doc_id": 99, "text": ""}])  # tokenizes to zero tokens
+    kept = nb_filter_top(docs, pos, neg, keep_pct=30,
+                         population=empty_pop).to_pandas()
+    assert len(kept) == 0

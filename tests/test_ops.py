@@ -1849,3 +1849,24 @@ def test_hash_embed_linearity_and_state(ray_session):
     assert (v2 == 2 * v1).all()      # doubled text -> doubled vector
     assert (v3 == 0).all()           # empty doc -> zero vector
     assert v1.abs().sum() > 0
+
+
+def test_heavy_hitters_exact_at_k_bound(ray_session):
+    """Boundary regression (ADVICE r3): with k exactly at the
+    documented bound k+1 == 10000/min_frac_e4 and tokens whose global
+    frequency sits EXACTLY on the output threshold, the batch-local
+    candidate filter (now >=) must still surface them in at least one
+    batch — strict > missed them in every batch when each batch's
+    local frequency equals the global one."""
+    import ray.data
+    from web_scraper_ray.ops.sketch import heavy_hitters
+
+    # every doc is "x a b c": all four tokens at exactly 25% in every
+    # batch AND globally; min_frac_e4=2500 puts the threshold at 25%
+    # and k=3 puts the bound at k+1 == 4 == 10000/2500
+    docs = [{"text": "x a b c"} for _ in range(64)]
+    for blocks in (1, 8):
+        ds = ray.data.from_items(docs, override_num_blocks=blocks)
+        got = heavy_hitters(ds, min_frac_e4=2500, k=3).to_pandas()
+        assert dict(zip(got["token"], got["n"])) == {
+            "x": 64, "a": 64, "b": 64, "c": 64}, blocks

@@ -285,7 +285,13 @@ def nb_filter_top(
         "mm", (100 - keep_pct,))
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        cut = int(ray.get(cut_ref)["value"].iloc[0])
+        cut_val = ray.get(cut_ref)["value"].iloc[0]
+        if pd.isna(cut_val):
+            # empty / all-zero-token population: the quantile is
+            # undefined, so the top-p% of nothing keeps nothing —
+            # return an empty batch instead of crashing on int(NaN)
+            return df.iloc[0:0]
+        cut = int(cut_val)
         scored = mm_rows(df)
         ok = scored.loc[scored["mm"] >= cut, id_col]
         return df.loc[df[id_col].isin(set(ok.to_numpy()))]

@@ -541,12 +541,19 @@ def bpe_train(
     statistic. Returns ``(step, p1, p2, n)``, one row per merge.
 
     Merge application is a plain left-to-right non-overlapping
-    substring replace on the `` tok1 tok2 ... ``-joined unit string —
-    BPE's leftmost-greedy rule, and bit-identical between Python
-    ``str.replace`` and DuckDB ``replace``, which is what lets an
-    ITERATIVE training run be SQL-hash-checked with the steps unrolled
-    as CTEs (the ``kmeans_clusters`` precedent). Oracle:
-    ``oracle_sql()['bpe_train']``.
+    substring replace on the `` tok1 tok2 ... ``-joined unit string,
+    bit-identical between Python ``str.replace`` and DuckDB
+    ``replace``, which is what lets an ITERATIVE training run be
+    SQL-hash-checked with the steps unrolled as CTEs (the
+    ``kmeans_clusters`` precedent). KNOWN DEVIATION from canonical
+    leftmost-greedy BPE on repeated-token runs: the space-delimited
+    replace consumes the shared separator, so a run of >= 4 identical
+    tokens fuses ONCE per pass (``a a a a`` under merge (a, a) →
+    ``a\\x01a a a``) where canonical BPE fuses twice (``a\\x01a
+    a\\x01a``) —
+    engine and SQL twin agree exactly (both apply the same rewrite),
+    but per-step pair statistics on such runs differ from a
+    canonical tokenizer's. Oracle: ``oracle_sql()['bpe_train']``.
 
     Shape per step: one pair-count combiner pass (the
     ``bpe_merge_counts`` shape) + a 1-row ``sort+limit`` (the driver
@@ -601,7 +608,9 @@ def bpe_encode(
 ) -> ray.data.Dataset:
     """Apply a trained merge table (:func:`bpe_train`'s output) to the
     corpus: per doc, whitespace pre-tokens fused by each merge IN
-    TRAINING ORDER (the BPE encode rule), then unit counts — rows
+    TRAINING ORDER (the BPE encode rule; same repeated-token-run
+    deviation as :func:`bpe_train` — see its docstring), then unit
+    counts — rows
     ``(id, n_pretokens, n_units)`` (``n_pretokens - n_units`` = merges
     applied). Zero-token docs are dropped (the module convention).
 

@@ -448,7 +448,12 @@ def heavy_hitters(
             return pd.DataFrame({"token": pd.Series([], dtype="object"),
                                  "nb": pd.Series([], dtype="int64")})
         cnt = pd.Series(toks, dtype="object").value_counts()
-        cand = cnt.index.to_numpy()[(k + 1) * cnt.to_numpy() > n_b]
+        # >= (not >): with a caller-supplied k exactly at the bound
+        # k+1 == 10000/min_frac_e4, a token whose GLOBAL count sits
+        # exactly on the output threshold has (k+1)*c_b == n_b in the
+        # averaging-argument batch — strict > would miss it in every
+        # batch and break the exactness guarantee at that boundary
+        cand = cnt.index.to_numpy()[(k + 1) * cnt.to_numpy() >= n_b]
         return pd.DataFrame({
             "token": np.concatenate([cand.astype(object), [None]]),
             "nb": np.concatenate([np.zeros(len(cand), dtype=np.int64),

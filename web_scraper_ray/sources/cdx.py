@@ -226,7 +226,13 @@ def synthesize_cdx_shards(
                 "warc_path": f"crawl-{doc_id % n_shards:02d}.warc.gz",
                 "offset": 512 * doc_id,
             })
-        write_cdxj(path, records, compress=compress)
+        # write-then-rename: a concurrent reader (second bench/pytest
+        # run on the same sf dir racing a re-synthesis) must never see
+        # a torn shard — the tolerant CDXJ parser would silently skip
+        # truncated lines instead of erroring
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_cdxj(tmp, records, compress=compress)
+        os.replace(tmp, path)
         return len(records)
 
     ray.get([write_shard.remote(k, p) for k, p in enumerate(paths)])
