@@ -1870,3 +1870,16 @@ def test_heavy_hitters_exact_at_k_bound(ray_session):
         got = heavy_hitters(ds, min_frac_e4=2500, k=3).to_pandas()
         assert dict(zip(got["token"], got["n"])) == {
             "x": 64, "a": 64, "b": 64, "c": 64}, blocks
+
+
+def test_segment_revenue_regimes_agree(sf_dir, ray_session):
+    """The broadcast (object-store dimension fold + searchsorted probe)
+    and native-hash-join regimes of segment_revenue return identical
+    aggregates; regime choice is just the footer row count vs limit."""
+    from web_scraper_ray.ops.relational import segment_revenue
+
+    a = (segment_revenue(sf_dir).to_pandas()
+         .sort_values("c_mktsegment").reset_index(drop=True))
+    b = (segment_revenue(sf_dir, broadcast_limit=0).to_pandas()
+         .sort_values("c_mktsegment").reset_index(drop=True))
+    assert a.equals(b)

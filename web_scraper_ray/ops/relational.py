@@ -71,27 +71,85 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
-def segment_revenue(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer revenue per market segment — broadcast hash
-    join: the small dimension side is ray.put once and probed per batch
-    (guide: 'small side → broadcast'), no shuffle of orders."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+@ray.remote(num_cpus=0)
+def _dim_lookup_task(*tables):
+    """Fold (int key, value) dimension blocks into custkey-sorted numpy
+    arrays in the OBJECT STORE — a Ray task, so the driver never holds
+    the dimension (the ``dedup._ids_array_task`` / ``graph.
+    _fold_node_table`` pattern); probe tasks ``ray.get`` it zero-copy
+    and binary-search."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object))
+    t = pa.concat_tables(live)
+    keys = t.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = t.column(1).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
+def segment_revenue(sf_dir: str,
+                    broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+    """orders ⋈ customer revenue per market segment. TPC-H customer
+    SCALES with sf (it is not a fixed dimension like nation), so two
+    regimes, switched on the dimension's parquet FOOTER row count:
+
+    * broadcast (≤ ``broadcast_limit`` rows): a Ray task folds the
+      (c_custkey, c_mktsegment) blocks into custkey-sorted arrays in
+      the object store — the driver never materializes the table —
+      and each orders batch does one vectorized ``searchsorted``
+      probe. No shuffle of orders.
+    * native hash join above the limit (the ``nation_revenue`` shape):
+      both sides hash-partition; nothing holds the dimension whole."""
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        df = df.copy()
-        df["c_mktsegment"] = df["o_custkey"].map(lookup)
-        # inner-join semantics (match the oracle's JOIN): an order whose
-        # custkey has no customer row is dropped, not aggregated as NaN
-        df = df.dropna(subset=["c_mktsegment"])
-        df["price_cents"] = np.floor(df["o_totalprice"] * 100.0 + 0.5).astype("int64")
-        return df[["c_mktsegment", "price_cents"]]
+    if n_cust > broadcast_limit:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+        except Exception:
+            cpus = 4
+        joined = orders.join(cust, join_type="inner",
+                             num_partitions=max(2, min(32, cpus)),
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+        def derive(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_mktsegment": df["c_mktsegment"],
+                "price_cents": np.floor(
+                    df["o_totalprice"] * 100.0 + 0.5).astype("int64"),
+            })
+
+        probed = joined.map_batches(derive, batch_format="pandas")
+    else:
+        lookup_ref = _dim_lookup_task.remote(*cust.to_arrow_refs())
+
+        def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+            keys, vals = ray.get(lookup_ref)  # zero-copy plasma read
+            k = df["o_custkey"].to_numpy(dtype=np.int64)
+            if len(keys) == 0:
+                return pd.DataFrame({
+                    "c_mktsegment": pd.Series([], dtype=object),
+                    "price_cents": pd.Series([], dtype="int64")})
+            pos = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+            # inner-join semantics (match the oracle's JOIN): an order
+            # whose custkey has no customer row is dropped
+            hit = keys[pos] == k
+            return pd.DataFrame({
+                "c_mktsegment": vals[pos[hit]],
+                "price_cents": np.floor(
+                    df["o_totalprice"].to_numpy()[hit] * 100.0 + 0.5
+                ).astype("int64"),
+            })
+
+        probed = orders.map_batches(join_batch, batch_format="pandas")
 
     return (
-        orders.map_batches(join_batch, batch_format="pandas")
-        .groupby("c_mktsegment")
+        probed.groupby("c_mktsegment")
         .aggregate(
             Sum("price_cents", alias_name="revenue_cents"),
             Count(alias_name="n_orders"),
