@@ -43,6 +43,30 @@ def _batch_key(df: pd.DataFrame) -> Tuple:
     return (r["host"], int(r["priority"]), float(r["pvt"]), int(r["pli"]), r["url"])
 
 
+@ray.remote(num_cpus=0)
+def _fold_offsets(*tables) -> dict:
+    """Global block order = order of batch keys (the dataset is sorted
+    and every batch key is a distinct row key); per host, the offset of
+    a block is the prefix sum of its earlier blocks' counts — a
+    vectorized grouped cumsum over blocks × hosts-per-block rows."""
+    import pyarrow as pa
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return {}
+    df = pa.concat_tables(live).to_pandas()
+    df = df.sort_values(
+        ["bk_host", "bk_pri", "bk_pvt", "bk_pli", "bk_url"], kind="mergesort")
+    off = (df.groupby("host", sort=False)["count"].cumsum()
+           - df["count"]).to_numpy()
+    return {
+        ((bh, int(bp), float(bv), int(bl), bu), h): int(o)
+        for bh, bp, bv, bl, bu, h, o in zip(
+            df["bk_host"], df["bk_pri"], df["bk_pvt"], df["bk_pli"],
+            df["bk_url"], df["host"], off)
+    }
+
+
 def assign_virtual_time_ranked(
     cands: ray.data.Dataset, bases: dict, robots, drop_cols: Tuple[str, ...] = ("bucket",)
 ) -> ray.data.Dataset:
@@ -72,22 +96,14 @@ def assign_virtual_time_ranked(
         )
 
     summaries = sorted_ds.map_batches(
-        summarize, batch_format="pandas", batch_size=None
-    ).to_pandas()
+        summarize, batch_format="pandas", batch_size=None)
 
-    # Driver reduce: global block order = order of batch keys (the data
-    # is sorted and every batch key is a distinct row key)
-    offsets: dict = {}
-    if len(summaries):
-        summaries = summaries.sort_values(
-            ["bk_host", "bk_pri", "bk_pvt", "bk_pli", "bk_url"], kind="mergesort"
-        )
-        running: dict = {}
-        for row in summaries.itertuples(index=False):
-            bk = (row.bk_host, row.bk_pri, row.bk_pvt, row.bk_pli, row.bk_url)
-            offsets[(bk, row.host)] = running.get(row.host, 0)
-            running[row.host] = running.get(row.host, 0) + row.count
-    offsets_ref = ray.put(offsets)
+    # Ray-task reduce (the graph._fold_node_table pattern): the
+    # per-(block, host) summaries are folded into the offsets dict in
+    # ONE worker — bounded by blocks × hosts-per-block, and the driver
+    # never holds the frame; pass-B tasks read the result straight
+    # from the object store
+    offsets_ref = _fold_offsets.remote(*summaries.to_arrow_refs())
     bases_ref = ray.put(dict(bases))
     robots_ref = ray.put(robots)
 
