@@ -1947,6 +1947,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = _round0_corpus()
         return graph.host_components(graph.link_edges(f"{corpus}/pages"))
 
+    def q_output_edges(sf_dir: str):
+        # the PRODUCTION link-graph path: a max_depth=0 crawl writes
+        # round outputs whose `links` column the extraction pass
+        # already materialized; edges are a slim column read + explode
+        # (ops/graph.py:edges_from_output) — no second DOM parse. The
+        # oracle replays round-0 admission (the crawl_round0 CTEs) and
+        # restricts the regex-derived page edges to admitted sources.
+        from web_scraper_ray.ops.graph import edges_from_output
+
+        return edges_from_output(_output_graph_ckpt())
+
+    def q_output_anchors(sf_dir: str):
+        # anchor-text corpus off the same crawl output's `anchors`
+        # column (ops/graph.py:anchors_from_output) — the (url, text)
+        # pairs were emitted by the crawl's own kernel walk
+        from web_scraper_ray.ops.graph import anchors_from_output
+
+        return anchors_from_output(_output_graph_ckpt())
+
     def q_media_features(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -2073,6 +2092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_indegree": q_top_indegree,
         "host_components": q_host_components,
         "anchor_texts": q_anchor_texts,
+        "output_edges": q_output_edges,
+        "output_anchors": q_output_anchors,
         "hits": q_hits,
         "cap_per_source": q_cap_per_source,
         "c4_line_filter": q_c4_line_filter,
@@ -2104,6 +2125,75 @@ def _round0_corpus() -> str:
     build_corpus(out, n_pages=400, n_hosts=24, seed=42, n_seeds=40,
                  links_per_page=6, use_ray=False)
     return out
+
+
+def _output_graph_ckpt() -> str:
+    """max_depth=0 crawl over the round-0 corpus feeding the
+    from-output graph queries (q_output_edges / q_output_anchors).
+    Rebuilt per call — one round over 400 pages; determinism comes
+    from the fixed corpus + the crawl-determinism contract."""
+    import shutil
+
+    from web_scraper_ray.crawl import CrawlConfig, run_crawl
+
+    corpus = _round0_corpus()
+    ckpt = "/tmp/wsr_outgraph_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_crawl(
+        f"{corpus}/pages",
+        f"{corpus}/seeds.parquet",
+        ckpt,
+        robots_path=f"{corpus}/robots.parquet",
+        config=CrawlConfig(max_depth=0, seen_shards=2),
+    )
+    return ckpt
+
+
+def _output_edges_sql() -> str:
+    """DuckDB twin of q_output_edges: regex-derived page edges
+    (the link_edges CTEs) restricted to round-0-admitted sources
+    (the crawl_round0 CTEs) — what the crawl's output files contain."""
+    return f"""
+        WITH adm AS ({_crawl_round0_sql()}),
+        {_link_edges_ctes()}
+        SELECT e.src, e.dst FROM edges e
+        WHERE e.src IN (SELECT url FROM adm)
+    """
+
+
+def _output_anchors_sql() -> str:
+    """DuckDB twin of q_output_anchors: the anchor_texts aggregation
+    restricted to round-0-admitted sources."""
+    corpus = _round0_corpus()
+    pat = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
+    return f"""
+        WITH adm AS ({_crawl_round0_sql()}),
+        pages AS (
+            SELECT url, decode(html) AS h
+            FROM read_parquet('{corpus}/pages/*.parquet')
+            WHERE url IN (SELECT url FROM adm)
+        ),
+        az AS (
+            SELECT url AS src,
+                   generate_subscripts(
+                       regexp_extract_all(h, '{pat}', 1), 1) AS i,
+                   unnest(regexp_extract_all(h, '{pat}', 1)) AS href,
+                   unnest(regexp_extract_all(h, '{pat}', 2)) AS txt
+            FROM pages
+        ),
+        resolved AS (
+            SELECT src, i, txt,
+                   CASE WHEN contains(href, '://') THEN href
+                        ELSE split_part(src, '/', 1) || '//' ||
+                             split_part(src, '/', 3) || href
+                   END AS dst
+            FROM az
+        )
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               string_agg(txt, chr(10) ORDER BY src, i) AS anchors
+        FROM resolved
+        GROUP BY dst
+    """
 
 
 def _crawl_round0_sql() -> str:
@@ -4336,6 +4426,8 @@ def oracle_sql() -> dict[str, str]:
         "top_indegree": _top_indegree_sql(),
         "host_components": _host_components_sql(),
         "anchor_texts": _anchor_texts_sql(),
+        "output_edges": _output_edges_sql(),
+        "output_anchors": _output_anchors_sql(),
         "hits": _hits_sql(),
         # cap_per_group: per-source quota via a row_number window
         "cap_per_source": """

@@ -191,20 +191,29 @@ def run_bench() -> dict:
         bm25_topk(docs5, "dup merge window", k=10).count()
         queries["bm25_topk"] = round(time.time() - t0, 3)
 
-        # --- link-graph over the bench corpus (edge extraction is a
-        # second DOM pass over every page; pagerank here runs the
-        # BROADCAST regime — bench-corpus node counts sit far below
-        # max_broadcast_nodes — so the timing covers the 2-shuffle
-        # setup plus zero-shuffle iterations; the bucketed regime is
-        # measured separately in BASELINE.md) ---
+        # --- link-graph off the crawl's round outputs (the production
+        # path: the crawl's extraction pass already materialized every
+        # page's links/anchors columns, so edges are a slim column read
+        # + explode — NO second full-corpus DOM parse; parity with the
+        # page-derived path is pinned by
+        # tests/test_graph.py:test_graph_from_crawl_output_parity).
+        # pagerank runs the BROADCAST regime — bench-corpus node counts
+        # sit far below max_broadcast_nodes — so the timing covers the
+        # 2-shuffle setup plus zero-shuffle iterations; the bucketed
+        # regime is measured separately in BASELINE.md ---
         t0 = time.time()
-        from web_scraper_ray.ops.graph import link_edges, pagerank
+        from web_scraper_ray.ops.graph import (
+            anchors_from_output, edges_from_output, pagerank,
+        )
 
-        edges = link_edges(f"{corpus}/pages").materialize()
+        edges = edges_from_output(ckpt).materialize()
         queries["link_edges"] = round(time.time() - t0, 3)
         t0 = time.time()
         pagerank(edges, iters=4).count()
         queries["pagerank"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        anchors_from_output(ckpt).count()
+        queries["anchor_texts"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         from web_scraper_ray.ops.lines import line_filter_stats

@@ -210,3 +210,57 @@ def test_link_edges_on_corpus(ray_session, tmp_path):
                 scheme_host[0] + "//" + scheme_host[2] + href)
             want.add((url, absu))
     assert set(zip(got["src"], got["dst"])) == want
+
+
+def test_graph_from_crawl_output_parity(ray_session, tmp_path):
+    """The production path (edges/anchors read off the crawl's round
+    outputs — the links/anchors columns the extraction pass already
+    materialized) equals the standalone second-parse path
+    (link_edges/anchor_texts over raw pages) restricted to the fetched
+    pages. This is what lets pagerank/anchor corpora run WITHOUT
+    re-parsing the corpus DOM."""
+    import pyarrow.parquet as pq
+
+    from web_scraper_ray.corpus import build_corpus
+    from web_scraper_ray.crawl import CrawlConfig, run_crawl
+
+    corpus = str(tmp_path / "corpus")
+    build_corpus(corpus, n_pages=80, n_hosts=8, seed=11, n_seeds=12,
+                 links_per_page=5, use_ray=False)
+    ckpt = str(tmp_path / "ckpt")
+    run_crawl(f"{corpus}/pages", f"{corpus}/seeds.parquet", ckpt,
+              robots_path=f"{corpus}/robots.parquet",
+              config=CrawlConfig(max_depth=2))
+
+    files = graph._crawl_output_files(ckpt)
+    assert files
+    fetched = set()
+    for f in files:
+        fetched.update(pq.read_table(f, columns=["url"])
+                       .column("url").to_pylist())
+    assert fetched  # the crawl fetched something
+
+    # edges: from-output == page-derived, restricted to fetched srcs
+    got = graph.edges_from_output(ckpt).to_pandas()
+    full = graph.link_edges(f"{corpus}/pages").to_pandas()
+    want = {(s, d) for s, d in zip(full["src"], full["dst"])
+            if s in fetched}
+    assert set(zip(got["src"], got["dst"])) == want
+    assert len(got) == len(want)  # distinct, no dup rows
+
+    # anchors: from-output == page-derived restricted to fetched srcs
+    got_a = (graph.anchors_from_output(ckpt).to_pandas()
+             .sort_values("dst").reset_index(drop=True))
+    pages_fetched = ray.data.read_parquet(
+        f"{corpus}/pages", columns=["url", "html"]).filter(
+        lambda r: r["url"] in fetched)
+    import web_scraper_ray.ops.graph as g
+
+    # rebuild the page-derived anchor corpus over ONLY fetched pages
+    # by writing them to a scratch dir (anchor_texts takes a path)
+    sub_dir = tmp_path / "fetched_pages"
+    sub_dir.mkdir()
+    pages_fetched.write_parquet(str(sub_dir))
+    want_a = (g.anchor_texts(str(sub_dir)).to_pandas()
+              .sort_values("dst").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_a, want_a)

@@ -60,6 +60,21 @@ def extract_links(doc: Node, base_url: str) -> list[str]:
     return links
 
 
+def extract_anchors(doc: Node, base_url: str) -> list[dict]:
+    """Document-order (url, text) pairs of all ``<a href>`` — the link
+    targets WITH their anchor text, emitted in the SAME kernel walk so
+    the link graph and the anchor-text corpus derive from the crawl's
+    one extraction pass instead of a second full-corpus DOM parse
+    (ops/graph.py:edges_from_output / anchors_from_output)."""
+    anchors = []
+    for a in doc.find_all("a"):
+        href = a.get("href")
+        if href:
+            anchors.append({"url": resolve_link(base_url, href),
+                            "text": a.get_text()})
+    return anchors
+
+
 def extract_title(doc: Node) -> str:
     t = doc.find("title")
     return t.get_text(strip=True) if t is not None else ""
@@ -72,7 +87,10 @@ def extract_page(html: bytes | str, url: str) -> dict:
     doc = parse(html)
     title = extract_title(doc)
     images = extract_images(doc, url)
-    links = extract_links(doc, url)
+    anchors = extract_anchors(doc, url)
+    # same traversal, same filter: links IS anchors' url column (one
+    # DOM walk feeds both the frontier edge set and the anchor corpus)
+    links = [a["url"] for a in anchors]
     cleaned, og = clean_document(doc)  # mutates doc in place
     content_html = cleaned.serialize()
     # Equivalent to html_to_markdown(content_html) — the reference
@@ -92,5 +110,6 @@ def extract_page(html: bytes | str, url: str) -> dict:
         "og_image": og.get("og_image", ""),
         "images": images,
         "links": links,
+        "anchors": anchors,
         "token_count": count_tokens(content_html),
     }

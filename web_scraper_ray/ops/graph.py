@@ -73,6 +73,50 @@ def link_edges(pages_path: str) -> ray.data.Dataset:
         edges_of, batch_format="pandas", batch_size=256)
 
 
+def _crawl_output_files(checkpoint_dir: str) -> list[str]:
+    """Every completed round's output parquet files of a crawl
+    checkpoint (round completeness = its manifest exists)."""
+    import os
+
+    from ..crawl.frontier import _complete_rounds, _parquet_files
+
+    return [f for r in _complete_rounds(checkpoint_dir)
+            for f in _parquet_files(
+                os.path.join(checkpoint_dir, f"output_{r:04d}"))]
+
+
+def edges_from_output(checkpoint_dir: str) -> ray.data.Dataset:
+    """Distinct (src, dst) edges read off a crawl checkpoint's round
+    outputs — the production path: the crawl's extraction pass already
+    materialized every page's ``links`` column
+    (crawl/frontier.py:_write_and_slim_stage), so the link graph costs
+    one SLIM column read + explode instead of a second full-corpus DOM
+    parse (the single largest avoidable cost of the standalone
+    :func:`link_edges` at 100 TB). Per-page first-seen dedup == global
+    dedup, exactly as in :func:`link_edges` (a url is fetched at most
+    once per crawl — the seen-set contract)."""
+    files = _crawl_output_files(checkpoint_dir)
+    if not files:
+        return ray.data.from_arrow(
+            __import__("pyarrow").table(
+                {"src": [], "dst": []}))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for url, links in zip(df["url"], df["links"]):
+            seen: set[str] = set()
+            for link in links if links is not None else ():
+                if link not in seen:
+                    seen.add(link)
+                    srcs.append(url)
+                    dsts.append(link)
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return ray.data.read_parquet(files, columns=["url", "links"]).map_batches(
+        explode, batch_format="pandas")
+
+
 def edges_with_outdeg(edges: ray.data.Dataset,
                       n_buckets: int = 32) -> ray.data.Dataset:
     """(src, dst, outdeg) — each edge annotated with its source's
@@ -451,20 +495,18 @@ def anchor_texts(pages_path: str, n_buckets: int = 32,
     groupby folding each target's anchors in order. Multi-edges kept:
     anchor-text FREQUENCY is part of the signal."""
     from ..dom import parse
-    from ..functions.urls import resolve_link
+    from ..kernel.extract import extract_anchors
 
     def anchors_of(df: pd.DataFrame) -> pd.DataFrame:
         srcs, poss, dsts, txts = [], [], [], []
         for url, html in zip(df["url"], df["html"]):
             if isinstance(html, (bytes, bytearray, memoryview)):
                 html = bytes(html).decode("utf-8", errors="replace")
-            for pos, a in enumerate(parse(html).find_all("a")):
-                href = a.get("href")
-                if href:
-                    srcs.append(url)
-                    poss.append(pos)
-                    dsts.append(resolve_link(url, href))
-                    txts.append(a.get_text())
+            for pos, a in enumerate(extract_anchors(parse(html), url)):
+                srcs.append(url)
+                poss.append(pos)
+                dsts.append(a["url"])
+                txts.append(a["text"])
         out = pd.DataFrame({"src": pd.Series(srcs, dtype=object),
                             "pos": pd.Series(poss, dtype="int64"),
                             "dst": pd.Series(dsts, dtype=object),
@@ -472,13 +514,24 @@ def anchor_texts(pages_path: str, n_buckets: int = 32,
         out["__bkt"] = _bkt(out["dst"], n_buckets)
         return out
 
-    _EMPTY = pd.DataFrame({"dst": pd.Series([], dtype=object),
-                           "n_anchors": pd.Series([], dtype="int64"),
-                           "anchors": pd.Series([], dtype=object)})
+    return (sized_read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(anchors_of, batch_format="pandas",
+                         batch_size=256)
+            .groupby("__bkt").map_groups(_anchor_fold(sep),
+                                         batch_format="pandas"))
 
+
+_EMPTY_ANCHORS = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                               "n_anchors": pd.Series([], dtype="int64"),
+                               "anchors": pd.Series([], dtype=object)})
+
+
+def _anchor_fold(sep: str):
+    """Per-bucket fold: each dst's anchor texts concatenated in
+    deterministic (src, in-page position) order, with the count."""
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return _EMPTY
+            return _EMPTY_ANCHORS
         g = g.sort_values(["dst", "src", "pos"], kind="mergesort")
         agg = g.groupby("dst", sort=False)["txt"].agg(
             n_anchors="size", anchors=sep.join)
@@ -487,10 +540,43 @@ def anchor_texts(pages_path: str, n_buckets: int = 32,
             "n_anchors": agg["n_anchors"].to_numpy(dtype=np.int64),
             "anchors": agg["anchors"].to_numpy(dtype=object)})
 
-    return (sized_read_parquet(pages_path, columns=["url", "html"])
-            .map_batches(anchors_of, batch_format="pandas",
-                         batch_size=256)
-            .groupby("__bkt").map_groups(fold, batch_format="pandas"))
+    return fold
+
+
+def anchors_from_output(checkpoint_dir: str, n_buckets: int = 32,
+                        sep: str = "\n") -> ray.data.Dataset:
+    """:func:`anchor_texts` off a crawl checkpoint's round outputs —
+    the (url, text) pairs were emitted by the crawl's OWN extraction
+    walk (stages/extract_stage.py ``anchors`` column), so the anchor
+    corpus costs one slim column read + explode + one bucketed fold;
+    no second DOM parse. Same output contract as :func:`anchor_texts`
+    restricted to fetched pages."""
+    files = _crawl_output_files(checkpoint_dir)
+    if not files:
+        return ray.data.from_arrow(
+            __import__("pyarrow").table(
+                {"dst": [], "n_anchors": [], "anchors": []}))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, poss, dsts, txts = [], [], [], []
+        for url, anchors in zip(df["url"], df["anchors"]):
+            for pos, a in enumerate(anchors if anchors is not None
+                                    else ()):
+                srcs.append(url)
+                poss.append(pos)
+                dsts.append(a["url"])
+                txts.append(a["text"])
+        out = pd.DataFrame({"src": pd.Series(srcs, dtype=object),
+                            "pos": pd.Series(poss, dtype="int64"),
+                            "dst": pd.Series(dsts, dtype=object),
+                            "txt": pd.Series(txts, dtype=object)})
+        out["__bkt"] = _bkt(out["dst"], n_buckets)
+        return out
+
+    return (ray.data.read_parquet(files, columns=["url", "anchors"])
+            .map_batches(explode, batch_format="pandas")
+            .groupby("__bkt").map_groups(_anchor_fold(sep),
+                                         batch_format="pandas"))
 
 
 def _host_of(series: pd.Series) -> pd.Series:

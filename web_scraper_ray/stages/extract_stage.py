@@ -26,6 +26,8 @@ IMAGE_STRUCT = pa.struct(
     [("url", pa.string()), ("alt", pa.string()), ("width", pa.string()), ("height", pa.string())]
 )
 
+ANCHOR_STRUCT = pa.struct([("url", pa.string()), ("text", pa.string())])
+
 EXTRACT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -39,6 +41,10 @@ EXTRACT_SCHEMA = pa.schema(
         ("og_image", pa.string()),
         ("images", pa.list_(IMAGE_STRUCT)),
         ("links", pa.list_(pa.string())),
+        # (url, text) per <a href> in document order — emitted by the
+        # SAME kernel walk as links, so the link graph / anchor-text
+        # corpus derive from crawl output without a second DOM parse
+        ("anchors", pa.list_(ANCHOR_STRUCT)),
         ("token_count", pa.int64()),
         ("extract_ok", pa.bool_()),
         ("extract_error", pa.string()),
@@ -64,7 +70,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         except Exception as e:  # malformed page: keep crawling
             rec = {"title": "", "text": "", "content_html": "", "og_title": "",
                    "og_description": "", "og_image": "", "images": [],
-                   "links": [], "token_count": 0}
+                   "links": [], "anchors": [], "token_count": 0}
             ok, err = False, f"{type(e).__name__}: {e}"[:200]
         cols["url"].append(url)
         cols["host"].append(extract_host(url))
@@ -77,6 +83,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         cols["og_image"].append(rec["og_image"])
         cols["images"].append(rec["images"])
         cols["links"].append(rec["links"])
+        cols["anchors"].append(rec["anchors"])
         cols["token_count"].append(rec["token_count"])
         cols["extract_ok"].append(ok)
         cols["extract_error"].append(err)
