@@ -395,6 +395,46 @@ def test_live_fetch_mode_parity(ray_session, small_corpus, tmp_path_factory,
         assert res.seen.snapshot() == model_result[1]
 
 
+def test_live_requeue_mode_parity(ray_session, small_corpus, tmp_path_factory,
+                                  engine_result, model_result):
+    """CrawlConfig.live_requeue: the NON-BLOCKING defer/requeue fetch
+    loop (one slow host re-queues instead of idling its pool actor),
+    reached from the frontier engine, still produces the byte-identical
+    crawl — with per-host delays 10x apart on a virtual clock, so the
+    requeue path is genuinely exercised (burst=1 forces deferrals)."""
+    import ray
+
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+    from web_scraper_ray.crawl.ratelimit import (
+        RateLimiter, VirtualClock, clock_fns,
+    )
+    from web_scraper_ray.crawl.robots import RobotsRules
+
+    _, order_bc = engine_result
+    clock = ray.remote(VirtualClock).options(num_cpus=0).remote()
+    now, sleep = clock_fns(clock)
+    # two delay classes 10x apart: slow hosts' deferred rows must not
+    # block fast hosts' (the requeue loop drains them independently)
+    hosts = sorted({h for h in order_bc["host"]})
+    delays = {h: (100 if i % 2 else 10) for i, h in enumerate(hosts)}
+    rules = RobotsRules({}, delays, default_delay_ms=10)
+    limiter = RateLimiter(rules, n_shards=2, burst=1, clock=now)
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, fetch_join="live",
+                      fetch_concurrency=2, live_requeue=True)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_live_requeue"))
+    res = run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+        rate_limiter=limiter, fetcher_kwargs={"sleep": sleep},
+    )
+    order = load_crawl_order(ckpt)
+    assert list(zip(order["round"], order["url"], order["vt"])) == list(
+        zip(order_bc["round"], order_bc["url"], order_bc["vt"])
+    )
+    assert res.seen.snapshot() == model_result[1]
+    assert float(ray.get(clock.now.remote())) > 0.0  # deferrals happened
+
+
 def test_ranked_politeness_parity(ray_session, small_corpus, tmp_path_factory,
                                   engine_result, model_result):
     """The range-partitioned two-pass politeness rank (giant-host path)

@@ -37,6 +37,13 @@ class CrawlConfig:
     # live mode: actor pool width and rows per fetch call
     fetch_concurrency: int = 4
     fetch_batch_size: int = 64
+    # live mode + rate_limiter: use the NON-BLOCKING defer/requeue loop
+    # (stages/fetch.py:fetch_with_requeue) — throttled rows come back
+    # as status='deferred' and re-enter the next admission round, so
+    # one slow host never idles a pool actor or stalls co-resident
+    # hosts (the blocking wave loop it replaces slept the whole actor).
+    # Ignored without a rate_limiter (nothing to defer on).
+    live_requeue: bool = False
     # politeness ranking: "fused" (vt inside the admission bucket task —
     # one host's candidates fit one task) or "ranked" (range-partitioned
     # two-pass rank; hosts may span blocks — the giant-host path)

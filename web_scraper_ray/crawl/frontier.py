@@ -475,6 +475,55 @@ def _live_fetch(adm_dir: str, config: CrawlConfig, fetcher_cls=None,
     )
 
 
+def _live_requeue_fetch(adm_dir: str, config: CrawlConfig, fetcher_cls,
+                        fetcher_kwargs: Optional[dict], rate_limiter,
+                        errors_dir: Optional[str] = None) -> ray.data.Dataset:
+    """Live fetch via the NON-BLOCKING defer/requeue loop
+    (``CrawlConfig.live_requeue``): each admission round fetches every
+    currently-grantable row and re-queues throttled ones, so hosts
+    drain independently (stages/fetch.py:fetch_with_requeue — a slow
+    host's tokens never idle a pool actor). The frontier's ordering
+    metadata is re-attached afterwards by a broadcast ``index_in``
+    lookup against the admitted table (the keep_admitted shape) —
+    legal because the admitted url set is exactly the fetch input.
+    Un-fetched (miss/error) rows land in ``errors_dir`` under the same
+    never-drop policy as the blocking path."""
+    from ..stages.fetch import fetch_with_requeue
+
+    kwargs = dict(fetcher_kwargs or {})
+    sleep = kwargs.pop("sleep", None)  # injectable clock (tests)
+    adm_urls = ray.data.read_parquet(adm_dir, columns=["url"])
+    fetched, _rounds = fetch_with_requeue(
+        adm_urls, fetcher_cls=fetcher_cls, limiter=rate_limiter,
+        sleep=sleep, concurrency=config.fetch_concurrency,
+        batch_size=config.fetch_batch_size, **kwargs)
+    adm_ref = _load_admitted.remote(adm_dir)
+
+    def attach_meta(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["status"], "fetched")
+        lost = batch.filter(pc.invert(keep))
+        if errors_dir and lost.num_rows:
+            import hashlib
+
+            urls = lost["url"].to_pylist()
+            name = hashlib.blake2b(
+                f"{urls[0]}|{urls[-1]}|{lost.num_rows}".encode(),
+                digest_size=8).hexdigest()
+            os.makedirs(errors_dir, exist_ok=True)
+            pq.write_table(lost.select(["url", "status", "error"]),
+                           os.path.join(errors_dir, f"err-{name}.parquet"))
+        sel = batch.filter(keep)
+        adm: pa.Table = ray.get(adm_ref)  # zero-copy plasma read
+        idx = pc.index_in(sel["url"], value_set=adm["url"])
+        meta = adm.take(idx)
+        out = {"url": sel["url"], "html": sel["html"]}
+        for c in META_COLUMNS:
+            out[c] = meta[c]
+        return pa.table(out)
+
+    return fetched.map_batches(attach_meta, batch_format="pyarrow")
+
+
 def _extract_with_meta(batch: pa.Table) -> pa.Table:
     """Extraction kernel with the frontier metadata columns riding
     through (extract_batch is 1:1 and order-preserving)."""
@@ -537,9 +586,14 @@ def _fetch_and_extract(
 
             fetcher_cls = CorpusFetcher
             fetcher_kwargs = dict(fetcher_kwargs or {}, pages_path=pages_path)
-        fetched = _live_fetch(adm_dir, config, fetcher_cls, fetcher_kwargs,
-                              rate_limiter,
-                              errors_dir=os.path.join(odir, "errors"))
+        if config.live_requeue and rate_limiter is not None:
+            fetched = _live_requeue_fetch(
+                adm_dir, config, fetcher_cls, fetcher_kwargs, rate_limiter,
+                errors_dir=os.path.join(odir, "errors"))
+        else:
+            fetched = _live_fetch(adm_dir, config, fetcher_cls,
+                                  fetcher_kwargs, rate_limiter,
+                                  errors_dir=os.path.join(odir, "errors"))
         extracted = fetched.map_batches(_extract_with_meta,
                                         batch_format="pyarrow", batch_size=256)
         return _write_and_slim_stage(extracted, round_no, odir)
