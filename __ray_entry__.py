@@ -1593,6 +1593,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = load_crawl_order(ckpt)
         return df[["round", "url", "host", "vt", "priority"]]
 
+    def q_crawl_round0_gated(sf_dir: str):
+        # round 0 with the URL pre-fetch gate wired into admission
+        # (CrawlConfig.url_gate → ops/urlgate.py, the RefinedWeb
+        # filter-before-fetch position): the hottest host is blocked
+        # and digit-heavy urls dropped BEFORE the seen set / politeness
+        # / fetch; the SQL oracle replays the gate predicates inside
+        # the round-0 admission CTEs. banned_tokens=() and the length/
+        # depth rules are vacuous on this corpus's url shape (≈40-char,
+        # 4-slash urls), so host + digit rules are the live ones.
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _round0_corpus()
+        ckpt = "/tmp/wsr_round0_gated_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(
+                max_depth=0, seen_shards=2,
+                url_gate=dict(
+                    blocked_hosts=frozenset({"host0000.example"}),
+                    banned_tokens=(), max_digit_pct=25,
+                ),
+            ),
+        )
+        df = load_crawl_order(ckpt)
+        return df[["round", "url", "host", "vt", "priority"]]
+
     def q_extraction(sf_dir: str):
         from web_scraper_ray.pipelines.flagship import extract_pipeline
 
@@ -2082,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "crawl_order": q_crawl_order,
         "crawl_round0": q_crawl_round0,
+        "crawl_round0_gated": q_crawl_round0_gated,
         "extraction": q_extraction,
         "extraction_parity": q_extraction_parity,
         "file_names": q_file_names,
@@ -2196,7 +2230,7 @@ def _output_anchors_sql() -> str:
     """
 
 
-def _crawl_round0_sql() -> str:
+def _crawl_round0_sql(gate_pred: str = "") -> str:
     """DuckDB twin of frontier round 0 (crawl/frontier.py:
     _seed_candidates → _admit): URL validity (scheme://netloc),
     canonicalization (lowercase scheme+host, strip default port, empty
@@ -2251,6 +2285,7 @@ def _crawl_round0_sql() -> str:
               AND (r.disallow_prefixes IS NULL OR
                    len(list_filter(r.disallow_prefixes,
                                    p -> starts_with(c.path, p))) = 0)
+              {gate_pred}
         ),
         deduped AS (
             SELECT url, host,
@@ -4422,6 +4457,13 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
         "near_dedup_best": _near_dedup_best_sql(),
         "crawl_round0": _crawl_round0_sql(),
+        "crawl_round0_gated": _crawl_round0_sql(gate_pred="""
+              AND c.host <> 'host0000.example'
+              AND NOT (100 * len(regexp_extract_all(
+                           c.scheme || '://' || c.host || c.path,
+                           '[0-9]'))
+                       > 25 * length(c.scheme || '://' || c.host
+                                     || c.path))"""),
         "pagerank": _pagerank_sql(),
         "top_indegree": _top_indegree_sql(),
         "host_components": _host_components_sql(),

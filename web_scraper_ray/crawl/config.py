@@ -48,3 +48,10 @@ class CrawlConfig:
     # one host's candidates fit one task) or "ranked" (range-partitioned
     # two-pass rank; hosts may span blocks — the giant-host path)
     politeness_mode: str = "fused"
+    # URL pre-fetch quality gate (ops/urlgate.py — RefinedWeb §3.1):
+    # kwargs for url_gate_frame (blocked_hosts / banned_tokens /
+    # max_len / max_depth / max_digit_pct), applied to every CANDIDATE
+    # url before admission — i.e. before the seen set, the politeness
+    # scan, and the fetch, where a dropped url is cheapest. None = off
+    # (the default keeps the sequential-model parity contract).
+    url_gate: dict | None = None

@@ -325,13 +325,34 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
     return cands.groupby("bucket").map_groups(bucket_admit, batch_format="pandas")
 
 
+def _apply_url_gate(cands: ray.data.Dataset,
+                    gate_kwargs: dict) -> ray.data.Dataset:
+    """CrawlConfig.url_gate: one stateless vectorized verdict pass
+    (ops/urlgate.py) over the CANDIDATE stream — before the admission
+    shuffle, the seen set, and the fetch, so a dropped url costs one
+    string scan and nothing downstream (the RefinedWeb pre-fetch
+    position, the highest-leverage place to filter). Candidate columns
+    ride through unchanged; only the keep mask is applied."""
+    from ..ops.urlgate import url_gate_frame
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        verdict = url_gate_frame(df[["url"]].copy(), **gate_kwargs)
+        return df.loc[verdict["kept"].to_numpy() == 1]
+
+    return cands.map_batches(gate, batch_format="pandas")
+
+
 def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases: dict,
                      robots_ref, robots: RobotsRules,
                      config: CrawlConfig) -> ray.data.Dataset:
     """Dispatch between the fused bucket politeness (default; one host =
     one vectorized task) and the range-partitioned two-pass rank
     (politeness_mode='ranked' — hosts may span blocks; the giant-host
-    path, ranked_politeness.py)."""
+    path, ranked_politeness.py). The optional URL pre-fetch gate runs
+    first — both discovery sites (seeds, link expansion) feed through
+    here, so the gate screens every candidate exactly once."""
+    if config.url_gate is not None:
+        cands = _apply_url_gate(cands, config.url_gate)
     if config.politeness_mode == "ranked":
         from .ranked_politeness import assign_virtual_time_ranked
 
