@@ -248,6 +248,31 @@ def _link_candidates(
     return output_ds.map_batches(expand, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+class _HostBases:
+    """Cumulative per-host admitted counts (the politeness bases),
+    held in ONE actor and updated by the driver with per-round DELTAS —
+    replacing a per-round ``ray.put`` of the full (growing) dict.
+    Admission bucket tasks query only THEIR hosts' counts, so the
+    state crossing the wire per round is O(round's hosts), not
+    O(all hosts ever seen)."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def update(self, delta: dict) -> None:
+        for h, c in delta.items():
+            self.counts[h] = self.counts.get(h, 0) + c
+
+    def get(self, hosts: list) -> list:
+        return [self.counts.get(h, 0) for h in hosts]
+
+    def all(self) -> dict:
+        # full snapshot — only the opt-in ranked-politeness mode needs
+        # it (its two-pass rank broadcasts the bases dict)
+        return dict(self.counts)
+
+
 # --------------------------------------------------------------------------
 # the fused per-bucket admission stage
 
@@ -268,7 +293,7 @@ def _precombine(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
+def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_actor, robots_ref,
            assign_vt: bool = True) -> ray.data.Dataset:
     """ONE shuffle: host-bucket groupby fusing in-round dedup, seen-shard
     anti-join, and per-host virtual-time assignment (see module doc).
@@ -312,10 +337,13 @@ def _admit(cands: ray.data.Dataset, seen: SeenSet, bases_ref, robots_ref,
 
         # 3. politeness: k-th candidate of host (ordered by priority,
         #    pvt, pli, url) gets vt = (base + k) * delay (model.py step 1)
-        bases: dict = ray.get(bases_ref)
         robots: RobotsRules = ray.get(robots_ref)
         g = g.sort_values(["host", "priority", "pvt", "pli", "url"], kind="mergesort")
         k = g.groupby("host", sort=False).cumcount()
+        # only THIS bucket's hosts cross the wire (delta-actor bases)
+        hosts_u = g["host"].unique().tolist()
+        bases = dict(zip(hosts_u,
+                         ray.get(bases_actor.get.remote(hosts_u))))
         base = g["host"].map(lambda h: bases.get(h, 0))
         delay = g["host"].map(robots.delay_ms)
         g = g[["url", "host", "priority", "pvt", "pli"]].copy()
@@ -342,7 +370,7 @@ def _apply_url_gate(cands: ray.data.Dataset,
     return cands.map_batches(gate, batch_format="pandas")
 
 
-def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases: dict,
+def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases_actor,
                      robots_ref, robots: RobotsRules,
                      config: CrawlConfig) -> ray.data.Dataset:
     """Dispatch between the fused bucket politeness (default; one host =
@@ -356,9 +384,11 @@ def _admit_with_mode(cands: ray.data.Dataset, seen: SeenSet, bases: dict,
     if config.politeness_mode == "ranked":
         from .ranked_politeness import assign_virtual_time_ranked
 
-        screened = _admit(cands, seen, ray.put(bases), robots_ref, assign_vt=False)
+        screened = _admit(cands, seen, bases_actor, robots_ref,
+                          assign_vt=False)
+        bases = ray.get(bases_actor.all.remote())
         return assign_virtual_time_ranked(screened, bases, robots)
-    return _admit(cands, seen, ray.put(bases), robots_ref)
+    return _admit(cands, seen, bases_actor, robots_ref)
 
 
 # --------------------------------------------------------------------------
@@ -851,6 +881,9 @@ def run_crawl(
     )
     robots_ref = ray.put(robots)
     seen = SeenSet(config.seen_shards)
+    # politeness bases live in a delta-updated actor: the driver sends
+    # each round's per-host DELTA, never re-ships the full dict
+    bases_actor = _HostBases.remote()
 
     host_counts: dict[str, int] = {}
     pages_budget = config.max_pages
@@ -868,6 +901,7 @@ def run_crawl(
         with open(_manifest_path(checkpoint_dir, last)) as f:
             m = json.load(f)
         host_counts = dict(m["host_counts"])
+        ray.get(bases_actor.update.remote(host_counts))  # restore bases
         total_admitted = m["total_admitted"]
         total_fetched = m["total_fetched"]
         if pages_budget is not None:
@@ -889,7 +923,8 @@ def run_crawl(
     else:
         # Round 0 discovery: seeds → fused admit → frontier_0 (with vt)
         cands = _seed_candidates(seeds_path, robots_ref, config)
-        frontier0 = _admit_with_mode(cands, seen, {}, robots_ref, robots, config)
+        frontier0 = _admit_with_mode(cands, seen, bases_actor, robots_ref,
+                                     robots, config)
         fdir0 = os.path.join(checkpoint_dir, "frontier_0000")
         shutil.rmtree(fdir0, ignore_errors=True)  # crashed-attempt leftovers
         frontier0.write_parquet(fdir0)
@@ -926,6 +961,8 @@ def run_crawl(
         pending_delta = None
         for h, c in delta.items():
             host_counts[h] = host_counts.get(h, 0) + c
+        # awaited: admission tasks later this round must see the delta
+        ray.get(bases_actor.update.remote(delta))
         if pages_budget is not None:
             pages_budget -= n_admitted
 
@@ -941,7 +978,7 @@ def run_crawl(
         n_next = 0
         if r < config.max_depth:
             cands = _link_candidates(out_slim, robots_ref, config)
-            nxt = _admit_with_mode(cands, seen, dict(host_counts), robots_ref,
+            nxt = _admit_with_mode(cands, seen, bases_actor, robots_ref,
                                    robots, config)
             ndir = os.path.join(checkpoint_dir, f"frontier_{r + 1:04d}")
             shutil.rmtree(ndir, ignore_errors=True)  # crashed-attempt leftovers
