@@ -729,7 +729,13 @@ def _write_and_slim_stage(extracted: ray.data.Dataset, round_no: int,
         pq.write_table(full, os.path.join(odir, f"part-{name}.parquet"))
         return batch.select(slim_cols)
 
-    return extracted.map_batches(write_and_slim, batch_format="pyarrow")
+    # batch_size=2048 coalesces the write: extraction upstream runs at
+    # 256 rows/batch (wide html), but one parquet file per 256-row
+    # batch means ~8× the files, footers, and open/close syscalls per
+    # round — the batcher re-buffers the already-slim extracted rows
+    # (text, not html) to ~2k rows per file at ~no memory cost.
+    return extracted.map_batches(write_and_slim, batch_format="pyarrow",
+                                 batch_size=2048)
 
 
 # --------------------------------------------------------------------------
