@@ -292,6 +292,26 @@ def test_multimodal_plumbing(ray_session):
     # strict mode marks exactly where the real decoder belongs
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor(strict=True)._decode_and_embed(b"x")
+    # engine gating: "pil" demands Pillow (absent here → ImportError,
+    # present → the real decode path); "auto" never fails — it picks
+    # pil when importable, else the deterministic stub
+    from web_scraper_ray.ops.multimodal import _load_pil
+
+    if _load_pil() is None:
+        with pytest.raises(ImportError):
+            ImageFeatureExtractor(engine="pil")
+        assert ImageFeatureExtractor(engine="auto").engine == "stub"
+    else:
+        assert ImageFeatureExtractor(engine="auto").engine == "pil"
+        import io as _io
+
+        img = _load_pil().new("RGB", (10, 10), (128, 0, 0))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        v = ImageFeatureExtractor(engine="pil")._decode_and_embed(buf.getvalue())
+        assert abs(float((v ** 2).sum()) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        ImageFeatureExtractor(engine="nope")
     frames = ds.map_batches(FrameSampler(fps_target=2.0), batch_format="pyarrow").to_pandas()
     assert (frames["frame_offset_ms"] % 500 == 0).all()
     assert set(frames["media_id"]) <= set(tbl["media_id"].to_pylist())

@@ -3,9 +3,12 @@ columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
 The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are STUBS (clearly marked): either a deterministic
-fake decode (for tests of the plumbing — schema, batching, actor
-lifecycle, output layout) or ``NotImplementedError`` in strict mode.
+so the decode kernels are import-guarded: ``engine="pil"``/``"auto"``
+run the real Pillow decode when it is installed (zero code changes the
+day the environment grows PIL), and the default ``engine="stub"`` is a
+deterministic fake decode (for tests of the plumbing — schema,
+batching, actor lifecycle, output layout; and the SQL-oracled
+``media_features`` contract) or ``NotImplementedError`` in strict mode.
 The Ray-side structure is real and is the part that matters at scale:
 small ``batch_size`` for wide binary rows, setup-once-per-actor, fixed
 Arrow output schema.
@@ -14,12 +17,42 @@ Arrow output schema.
 from __future__ import annotations
 
 import hashlib
+import io
 import math
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+
+def _load_pil():
+    """Import guard for the real decoder. The container has no PIL, so
+    ``engine="auto"`` falls back to the deterministic stub; the day the
+    environment grows Pillow, ``engine="pil"``/``"auto"`` decode for
+    real with zero code changes."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _resolve_engine(engine: str) -> tuple[str, object]:
+    if engine == "auto":
+        pil = _load_pil()
+        return ("pil", pil) if pil is not None else ("stub", None)
+    if engine == "pil":
+        pil = _load_pil()
+        if pil is None:
+            raise ImportError(
+                "engine='pil' requires Pillow, which is not installed; "
+                "use engine='stub' (deterministic fake) or 'auto'")
+        return "pil", pil
+    if engine == "stub":
+        return "stub", None
+    raise ValueError(f"unknown engine {engine!r} (stub | pil | auto)")
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -58,23 +91,37 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 class ImageFeatureExtractor:
     """Actor-pool stage: decode + feature-extract images.
 
-    STUB: real deploys load a decoder + model in ``__init__`` (once per
-    actor) and decode ``payload`` per batch. Here ``strict=False``
-    computes a deterministic fake feature vector from the payload bytes
-    so the pipeline shape (schema in/out, batching, actor reuse) is
-    fully exercised; ``strict=True`` raises NotImplementedError exactly
-    where the real decoder call belongs."""
+    ``engine="stub"`` (default — the deterministic contract the
+    ``media_features`` SQL oracle replays; synthetic payloads are not
+    decodable images) computes a fake feature vector from the payload
+    bytes so the pipeline shape (schema in/out, batching, actor reuse)
+    is fully exercised. ``engine="pil"`` decodes for real (grayscale
+    histogram feature; Pillow import-guarded — absent in this
+    container); ``engine="auto"`` picks pil when importable.
+    ``strict=True`` (legacy) raises NotImplementedError at the decoder
+    seam."""
 
-    def __init__(self, feature_dim: int = 16, strict: bool = False):
+    def __init__(self, feature_dim: int = 16, strict: bool = False,
+                 engine: str = "stub"):
         self.feature_dim = feature_dim
         self.strict = strict
-        # real version: self.model = load_model(...)  # once per actor
+        # once per actor: resolve the decoder (a real deploy also loads
+        # its model here)
+        self.engine, self._pil = _resolve_engine(engine)
 
     def _decode_and_embed(self, payload: bytes) -> np.ndarray:
         if self.strict:
             raise NotImplementedError(
                 "image decode requires PIL/torchvision — not available in this container"
             )
+        if self.engine == "pil":
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.uint8)
+            hist, _ = np.histogram(
+                px, bins=self.feature_dim, range=(0, 256))
+            v = hist.astype(np.float64)
+            n = np.linalg.norm(v)
+            return v / (n if n else 1.0)
         # deterministic fake: md5 over the payload HEX (DuckDB md5 is
         # VARCHAR-only, so hashing the hex keeps the twin exact) →
         # normalized histogram-ish vector; feature_dim <= 16 (md5 width)
@@ -142,11 +189,12 @@ class ImageResizer:
     binary payloads are wide → callers pass a small batch_size."""
 
     def __init__(self, width: int = 8, height: int = 8,
-                 strict: bool = False):
+                 strict: bool = False, engine: str = "stub"):
         if strict:
             raise NotImplementedError(
                 "real image decode/resize needs PIL/cv2 — absent in "
                 "this environment; the stub resizes the raw byte grid")
+        self.engine, self._pil = _resolve_engine(engine)
         self.width = width
         self.height = height
         # precomputed per-actor: the nearest-neighbor index grid is a
@@ -165,6 +213,13 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch["payload"].to_pylist():
+            if self.engine == "pil":
+                img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+                img = img.resize((self.width, self.height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+                continue
             buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
             side = max(1, math.isqrt(len(buf)))
             out.append(buf[self._grid(side)].tobytes())
