@@ -1586,6 +1586,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
         return strip_boilerplate(ds, min_pages=3)
 
+    def q_canonical_urls(sf_dir: str):
+        # URL canonicalization + canonical dedup (ops/urldedup.py):
+        # each corpus url is expanded to six deterministic spellings
+        # (fragment, explicit :443, scheme case, two query orders) and
+        # collapsed back by canonical form — min(url) representative +
+        # variant count, under the oracle's hash check
+        import pandas as pd
+
+        from web_scraper_ray.ops.urldedup import canonical_dedup
+
+        corpus = _round0_corpus()
+        base = sized_read_parquet(f"{corpus}/pages", columns=["url"])
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["url"]
+            return pd.DataFrame({"url": pd.concat([
+                u,
+                u + "#section-2",
+                u.str.replace(r"^(https://[^/]+)", r"\1:443", regex=True),
+                u.str.replace(r"^https", "HTTPS", regex=True),
+                u + "?b=2&a=1",
+                u + "?a=1&b=2",
+            ], ignore_index=True)})
+
+        return canonical_dedup(base.map_batches(plant, batch_format="pandas"))
+
     def q_crawl_round0(sf_dir: str):
         # round 0 of the real frontier engine (max_depth=0: seeds →
         # validity/canonicalize/ignore/robots → fused bucket admission
@@ -2060,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "host_boilerplate": q_host_boilerplate,
         "strip_boilerplate": q_strip_boilerplate,
+        "canonical_urls": q_canonical_urls,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
         "bpe_train": q_bpe_train,
@@ -2076,7 +2103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": q_hash_embed,
         "late_events": q_late_events,
         "approx_distinct_events": q_approx_distinct_events,
-        "bloom_candidates": q_bloom_candidates,
         "corpus_profile": q_corpus_profile,
         "corpus_diff": q_corpus_diff,
         "recrawl_plan": q_recrawl_plan,
@@ -2101,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
+        "bloom_candidates": q_bloom_candidates,
         "lm_buckets": q_lm_buckets,
         "cms_token_counts": q_cms_token_counts,
         "bigram_surprisal": q_bigram_surprisal,
@@ -2317,6 +2344,84 @@ def _strip_boilerplate_sql() -> str:
         LEFT JOIN (SELECT url, count(*)::BIGINT AS n_dropped
                    FROM marked WHERE dropped GROUP BY url) d
             USING (url)
+    """
+
+
+def _canonical_urls_sql() -> str:
+    """DuckDB twin of ops/urldedup.py:canonical_dedup over the same
+    six planted spellings per corpus url (q_canonical_urls). The
+    canonical chain mirrors canonicalize_series rule for rule:
+    fragment strip, lowercase scheme/host, default-port strip (the
+    crawl_round0 slice idiom), empty path → '/', bytewise-sorted
+    query params with empty tokens dropped. Query extraction is
+    substr-from-first-'?' (not split_part) so multi-'?' strings match
+    the engine's split(n=1) exactly."""
+    corpus = _round0_corpus()
+    return f"""
+        WITH v AS (
+            SELECT unnest([
+                url,
+                url || '#section-2',
+                regexp_replace(url, '^(https://[^/]+)', '\\1:443'),
+                regexp_replace(url, '^https', 'HTTPS'),
+                url || '?b=2&a=1',
+                url || '?a=1&b=2'
+            ]) AS url
+            FROM read_parquet('{corpus}/pages/*.parquet')
+        ),
+        s1 AS (
+            SELECT url, split_part(url, '#', 1) AS nofrag,
+                   contains(url, '://') AS ok
+            FROM v
+        ),
+        s2 AS (
+            SELECT url, ok,
+                   lower(split_part(nofrag, '://', 1)) AS scheme,
+                   split_part(nofrag, '://', 2) AS rest
+            FROM s1
+        ),
+        s3 AS (
+            SELECT url, ok, scheme,
+                   split_part(rest, '?', 1) AS hostpath,
+                   CASE WHEN contains(rest, '?')
+                        THEN substr(rest, strpos(rest, '?') + 1)
+                        ELSE NULL END AS query
+            FROM s2
+        ),
+        s4 AS (
+            SELECT url, ok, scheme, query,
+                   lower(split_part(hostpath, '/', 1)) AS host0,
+                   CASE WHEN strpos(hostpath, '/') > 0
+                        THEN substr(hostpath, strpos(hostpath, '/'))
+                        ELSE '/' END AS path
+            FROM s3
+        ),
+        s5 AS (
+            SELECT url, ok, scheme, path,
+                   CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                        THEN host0[1:-4]
+                        WHEN scheme = 'https' AND host0 LIKE '%:443'
+                        THEN host0[1:-5]
+                        ELSE host0 END AS host,
+                   CASE WHEN query IS NULL THEN ''
+                        ELSE array_to_string(list_sort(list_filter(
+                                 string_split(query, '&'),
+                                 x -> x <> '')), '&')
+                   END AS q
+            FROM s4
+        ),
+        c AS (
+            SELECT url,
+                   CASE WHEN NOT ok THEN url
+                        ELSE scheme || '://' || host || path ||
+                             CASE WHEN q = '' THEN ''
+                                  ELSE '?' || q END
+                   END AS canonical
+            FROM s5
+        )
+        SELECT canonical, min(url) AS url,
+               count(*)::BIGINT AS n_variants
+        FROM c GROUP BY canonical
     """
 
 
@@ -4547,6 +4652,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_exhaustive": _near_dedup_exhaustive_sql(),
         "near_dedup_best": _near_dedup_best_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
+        "canonical_urls": _canonical_urls_sql(),
         "strip_boilerplate": _strip_boilerplate_sql(),
         "crawl_round0": _crawl_round0_sql(),
         "crawl_round0_gated": _crawl_round0_sql(gate_pred="""

@@ -20,6 +20,10 @@ import time
 import duckdb
 import pandas as pd
 
+# python scripts/emulate_driver.py puts scripts/ (not the repo root) on
+# sys.path; the repo root is where __ray_entry__ and the package live
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
