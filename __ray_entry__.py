@@ -1586,6 +1586,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
         return strip_boilerplate(ds, min_pages=3)
 
+    def q_jsonl_roundtrip(sf_dir: str):
+        # export → re-ingest roundtrip: documents → JSONL shards
+        # (sinks.write_jsonl_shards, atomic manifest) → read_jsonl
+        # (sources/jsonl.py, manifest-verified). The oracle reads the
+        # original parquet — a hash match proves the JSON encode/decode
+        # loses nothing (values, unicode, column set).
+        import os
+
+        from web_scraper_ray.sinks import write_jsonl_shards
+        from web_scraper_ray.sources.jsonl import read_jsonl
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/wsr_jsonl_{tag}"
+        docs = sized_read_parquet(f"{sf_dir}/documents.parquet")
+        write_jsonl_shards(docs, out, rows_per_shard=2_000)
+        return read_jsonl(
+            out, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
     def q_canonical_urls(sf_dir: str):
         # URL canonicalization + canonical dedup (ops/urldedup.py):
         # each corpus url is expanded to six deterministic spellings
@@ -2087,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_boilerplate": q_host_boilerplate,
         "strip_boilerplate": q_strip_boilerplate,
         "canonical_urls": q_canonical_urls,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
         "bpe_train": q_bpe_train,
@@ -2102,7 +2121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epochs_mix": q_epochs_mix,
         "hash_embed": q_hash_embed,
         "late_events": q_late_events,
-        "approx_distinct_events": q_approx_distinct_events,
         "corpus_profile": q_corpus_profile,
         "corpus_diff": q_corpus_diff,
         "recrawl_plan": q_recrawl_plan,
@@ -2127,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
+        "approx_distinct_events": q_approx_distinct_events,
         "bloom_candidates": q_bloom_candidates,
         "lm_buckets": q_lm_buckets,
         "cms_token_counts": q_cms_token_counts,
@@ -4653,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_best": _near_dedup_best_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "strip_boilerplate": _strip_boilerplate_sql(),
         "crawl_round0": _crawl_round0_sql(),
         "crawl_round0_gated": _crawl_round0_sql(gate_pred="""
