@@ -1604,6 +1604,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_jsonl(
             out, columns=["doc_id", "text", "lang", "source", "n_chars"])
 
+    def q_webtext_clean(sf_dir: str):
+        # the webtext cleaning composite over the crawl corpus: host
+        # boilerplate removal (ops/boilerplate.py) chained into the
+        # C4 line filter (ops/lines.py) — per page line counts, doc
+        # verdict, and the surviving text, all under one hash check.
+        # Line-filter params fit the synthetic corpus's prose shape
+        # (min_words=3; ')' counted terminal — list/paren lines)
+        from web_scraper_ray.ops.boilerplate import strip_boilerplate
+        from web_scraper_ray.ops.lines import line_filter_stats
+
+        corpus = _round0_corpus()
+        ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
+        stripped = strip_boilerplate(ds, min_pages=3)
+        return line_filter_stats(stripped, text_col="text", id_col="url",
+                                 min_words=3, terminal='.!?")')
+
     def q_canonical_urls(sf_dir: str):
         # URL canonicalization + canonical dedup (ops/urldedup.py):
         # each corpus url is expanded to six deterministic spellings
@@ -2106,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": q_strip_boilerplate,
         "canonical_urls": q_canonical_urls,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "webtext_clean": q_webtext_clean,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
         "bpe_train": q_bpe_train,
@@ -2121,7 +2138,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epochs_mix": q_epochs_mix,
         "hash_embed": q_hash_embed,
         "late_events": q_late_events,
-        "corpus_profile": q_corpus_profile,
         "corpus_diff": q_corpus_diff,
         "recrawl_plan": q_recrawl_plan,
         "indexed_fetch": q_indexed_fetch,
@@ -2145,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
+        "corpus_profile": q_corpus_profile,
         "approx_distinct_events": q_approx_distinct_events,
         "bloom_candidates": q_bloom_candidates,
         "lm_buckets": q_lm_buckets,
@@ -2363,6 +2380,54 @@ def _strip_boilerplate_sql() -> str:
         LEFT JOIN (SELECT url, count(*)::BIGINT AS n_dropped
                    FROM marked WHERE dropped GROUP BY url) d
             USING (url)
+    """
+
+
+def _webtext_clean_sql() -> str:
+    """DuckDB twin of q_webtext_clean — the boilerplate-strip CTE
+    chain feeding the C4 line predicate (the _c4_line_filter_sql
+    lambda with min_words=3 and ')' in the terminal set) and the doc
+    verdict, over the crawl corpus pages."""
+    ws = " ' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    pred = (f"(list_contains(['.','!','?','\"',')'], "
+            f"right(rtrim(l, {ws}), 1))"
+            " AND len(list_filter(string_split(l, ' '), x -> x <> ''))"
+            " >= 3"
+            " AND NOT contains(lower(l), 'javascript'))")
+    return f"""
+        WITH {_boilerplate_lines_cte()},
+        marked AS (
+            SELECT l.url, l.p, l.line,
+                   (b.line IS NOT NULL AND l.line <> '') AS dropped
+            FROM lines l
+            LEFT JOIN bp b ON l.host = b.host AND l.line = b.line
+        ),
+        clean AS (
+            SELECT p.url, COALESCE(k.text, '') AS t
+            FROM pages p
+            LEFT JOIN (SELECT url,
+                              string_agg(line, chr(10) ORDER BY p)
+                                  AS text
+                       FROM marked WHERE NOT dropped GROUP BY url) k
+                USING (url)
+        ),
+        split AS (
+            SELECT url, t,
+                   string_split(t, chr(10)) AS ls,
+                   list_filter(string_split(t, chr(10)),
+                               l -> {pred}) AS kept_ls
+            FROM clean
+        )
+        SELECT url,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept_ls) AS BIGINT) AS n_kept,
+               CAST(CASE WHEN len(kept_ls) >= 1
+                          AND NOT contains(lower(t), 'lorem ipsum')
+                          AND NOT contains(lower(t), '{{')
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               COALESCE(array_to_string(kept_ls, chr(10)), '')
+                   AS clean_text
+        FROM split
     """
 
 
@@ -4672,6 +4737,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_best": _near_dedup_best_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "webtext_clean": _webtext_clean_sql(),
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "strip_boilerplate": _strip_boilerplate_sql(),
         "crawl_round0": _crawl_round0_sql(),
