@@ -320,6 +320,29 @@ def run_bench() -> dict:
         url_gate(frontier_urls).count()
         queries["url_gate"] = round(time.time() - t0, 3)
 
+        # host-boilerplate strip over the full pages corpus (decision
+        # shuffle of slim (host,line,url) triples + broadcast rebuild)
+        t0 = time.time()
+        from web_scraper_ray.ops.boilerplate import strip_boilerplate
+
+        pages_txt = ray.data.read_parquet(
+            f"{corpus}/pages", columns=["url", "text"])
+        strip_boilerplate(pages_txt, min_pages=3).count()
+        queries["strip_boilerplate"] = round(time.time() - t0, 3)
+
+        # canonical URL dedup over the pages frontier (vectorized
+        # canonicalizer + one slim decision shuffle)
+        t0 = time.time()
+        from web_scraper_ray.ops.urldedup import canonical_dedup
+
+        # url-only scan: block by row count, not file bytes — the
+        # default read splits the (html-sized) files into 200 blocks
+        # of 1k urls and per-block overhead dominates a tiny column
+        canonical_dedup(ray.data.read_parquet(
+            f"{corpus}/pages", columns=["url"],
+            override_num_blocks=2 * num_cpus)).count()
+        queries["canonical_dedup"] = round(time.time() - t0, 3)
+
         headline = queries["crawl_frontier"] + queries["extract_full"]
         return {
             "metric": "frontier URLs processed/sec (fetch+extract) — headline sec = crawl + full extraction",

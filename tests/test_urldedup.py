@@ -42,6 +42,26 @@ def test_canonicalize_idempotent():
     assert once.tolist() == twice.tolist()
 
 
+def test_canonicalize_idempotent_fuzz():
+    """Property: canonicalization is idempotent on arbitrary
+    url-shaped strings (the crawl-admission invariant, extended to
+    the query-sorting strong form)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(alphabet="abcZ09/?&=#:._-", max_size=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(frag, min_size=1, max_size=8))
+    def check(parts):
+        s = pd.Series(["https://Host.EX:443/" + "".join(parts),
+                       "http://h:80" + "".join(parts)])
+        once = canonicalize_series(s)
+        assert canonicalize_series(once).tolist() == once.tolist()
+
+    check()
+
+
 def test_canonical_dedup_elects_min(ray_session):
     import ray.data
 
