@@ -1586,6 +1586,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
         return strip_boilerplate(ds, min_pages=3)
 
+    def q_dup_cluster_hist(sf_dir: str):
+        # exact-duplicate cluster-size histogram — the dedup family's
+        # audit/QA view (ops/dedup.py:dup_cluster_histogram). The sf
+        # documents are dup-free, so duplicates are planted (every
+        # 17th doc's text appears twice, every 61st three times) the
+        # same way in the SQL twin — the histogram then has real
+        # sz>=2 mass under the hash check.
+        import pandas as pd
+
+        from web_scraper_ray.ops.dedup import dup_cluster_histogram
+
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            extra = df.loc[df["doc_id"] % 17 == 0]
+            extra2 = df.loc[df["doc_id"] % 61 == 0]
+            return pd.concat([df, extra, extra2, extra2],
+                             ignore_index=True)[["text"]]
+
+        return dup_cluster_histogram(
+            ds.map_batches(plant, batch_format="pandas"))
+
     def q_jsonl_roundtrip(sf_dir: str):
         # export → re-ingest roundtrip: documents → JSONL shards
         # (sinks.write_jsonl_shards, atomic manifest) → read_jsonl
@@ -2122,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": q_strip_boilerplate,
         "canonical_urls": q_canonical_urls,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "dup_cluster_hist": q_dup_cluster_hist,
         "webtext_clean": q_webtext_clean,
         "tfidf_topk": q_tfidf_topk,
         "lm_surprisal": q_lm_surprisal,
@@ -2139,7 +2163,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": q_hash_embed,
         "late_events": q_late_events,
         "corpus_diff": q_corpus_diff,
-        "recrawl_plan": q_recrawl_plan,
         "indexed_fetch": q_indexed_fetch,
         "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2161,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
+        "recrawl_plan": q_recrawl_plan,
         "corpus_profile": q_corpus_profile,
         "approx_distinct_events": q_approx_distinct_events,
         "bloom_candidates": q_bloom_candidates,
@@ -4739,6 +4763,19 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "webtext_clean": _webtext_clean_sql(),
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "dup_cluster_hist": """
+            WITH planted AS (
+                SELECT text FROM documents
+                UNION ALL SELECT text FROM documents WHERE doc_id % 17 = 0
+                UNION ALL SELECT text FROM documents WHERE doc_id % 61 = 0
+                UNION ALL SELECT text FROM documents WHERE doc_id % 61 = 0
+            )
+            SELECT sz, count(*)::BIGINT AS n_clusters
+            FROM (SELECT md5(COALESCE(text, '')) AS m,
+                         count(*)::BIGINT AS sz
+                  FROM planted GROUP BY m)
+            GROUP BY sz
+        """,
         "strip_boilerplate": _strip_boilerplate_sql(),
         "crawl_round0": _crawl_round0_sql(),
         "crawl_round0_gated": _crawl_round0_sql(gate_pred="""

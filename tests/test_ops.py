@@ -36,6 +36,16 @@ def test_exact_dedup_planted(docs_ds):
     assert kept == [0, 2, 3, 4, 5]
 
 
+def test_dup_cluster_histogram(docs_ds):
+    from web_scraper_ray.ops.dedup import dup_cluster_histogram
+
+    out = (dup_cluster_histogram(docs_ds).to_pandas()
+           .set_index("sz")["n_clusters"])
+    # docs 0 and 1 are exact duplicates (one sz-2 cluster); the other
+    # four texts are unique
+    assert out.to_dict() == {1: 4, 2: 1}
+
+
 def test_minhash_finds_near_dups(docs_ds):
     from web_scraper_ray.ops.dedup import minhash_lsh_pairs
 

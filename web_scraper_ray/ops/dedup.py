@@ -203,6 +203,44 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                         mode=subtract_mode, n_buckets=n_buckets)
 
 
+def dup_cluster_histogram(ds: ray.data.Dataset, text_col: str = "text",
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Duplication audit: the exact-duplicate cluster-size histogram
+    ``(sz, n_clusters)`` — sz=1 rows count unique documents, so the
+    histogram doubles as a one-glance dup-rate report (what fraction
+    of the corpus survives exact dedup, how pathological the largest
+    clusters are). Shuffle discipline as :func:`exact_dedup`: only
+    (content_md5, bucket) rides the decision fold; the second groupby
+    is over cluster SIZES (tiny cardinality — bounded by the largest
+    cluster, not the corpus)."""
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([text_col]).map_batches(
+        lambda df: add_md5_batch(df, text_col)[["content_md5"]],
+        batch_format="pandas",
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["content_md5"].map(
+            lambda h: int(h[:8], 16) % n_buckets)
+        return df
+
+    def sizes_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("content_md5", sort=False).size()
+        part = sz.value_counts()
+        return pd.DataFrame({"sz": part.index.to_numpy(dtype=np.int64),
+                             "n": part.to_numpy(dtype=np.int64)})
+
+    parts = (slim.map_batches(add_bucket, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(sizes_in_group, batch_format="pandas"))
+    out = parts.groupby("sz").aggregate(Sum("n", alias_name="n_clusters"))
+    return out.map_batches(
+        lambda df: df.astype({"sz": "int64", "n_clusters": "int64"}),
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # incremental (cross-corpus) exact dedup
 
