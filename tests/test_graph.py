@@ -112,6 +112,26 @@ def test_hits_equals_sequential_model(ray_session):
     assert dict(zip(got["node"], got["hub"])) == want_h
 
 
+def test_hits_bucketed_equals_broadcast(ray_session):
+    """The 100-TB message-passing regime is bit-identical to the
+    broadcast regime (same fixed-point arithmetic, different physical
+    plan) — the pagerank regime-parity contract, extended to HITS."""
+    b = graph.hits(_edges_ds(_EDGES), iters=4,
+                   mode="broadcast").to_pandas()
+    k = graph.hits(_edges_ds(_EDGES), iters=4, mode="bucketed",
+                   n_buckets=3).to_pandas()
+    bd = b.sort_values("node").reset_index(drop=True)
+    kd = k.sort_values("node").reset_index(drop=True)
+    assert bd["node"].tolist() == kd["node"].tolist()
+    assert bd["auth"].tolist() == kd["auth"].tolist()
+    assert bd["hub"].tolist() == kd["hub"].tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.hits(_edges_ds(_EDGES), mode="nope").to_pandas()
+
+
 def test_edges_with_outdeg_and_nodes(ray_session):
     ed = graph.edges_with_outdeg(_edges_ds(_EDGES)).to_pandas()
     assert dict(zip(ed["src"], ed["outdeg"]))["a"] == 2

@@ -419,8 +419,128 @@ def pagerank(edges: ray.data.Dataset, iters: int = 4,
         batch_format="pandas")
 
 
+def _hits_bucketed(edges_m: ray.data.Dataset, nodes: ray.data.Dataset,
+                   n: int, iters: int, scale: int,
+                   n_buckets: int) -> ray.data.Dataset:
+    """100-TB HITS regime: (auth, hub) node state never assembles in
+    one place — each half-iteration is the pagerank bucketed
+    message-passing shape (state meets edges in one src/dst-bucketed
+    group, contributions pre-combined per target, then fold back into
+    state in a second bucketed group). Normalization totals are single
+    int64 scalars (Σ state ≈ scale), folded by a Dataset sum; the
+    per-node ``raw * scale // total`` runs in exact Python ints inside
+    each group — identical arithmetic to the broadcast regime, so
+    results are bit-equal (pinned by test_graph)."""
+    by_src = edges_m.map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["src"], "other": df["dst"],
+            "val": np.int64(0), "side": "e",
+            "__bkt": _bkt(df["src"], n_buckets)}),
+        batch_format="pandas").materialize()
+    by_dst = edges_m.map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["dst"], "other": df["src"],
+            "val": np.int64(0), "side": "e",
+            "__bkt": _bkt(df["dst"], n_buckets)}),
+        batch_format="pandas").materialize()
+
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "auth": np.int64(scale // n),
+                                 "hub": np.int64(scale // n)}),
+        batch_format="pandas").materialize()
+
+    _EMPTY_MSG = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                               "contrib": pd.Series([], dtype="int64")})
+
+    def push_group(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["side"] == "e", ["key", "other"]]
+        s = g.loc[g["side"] == "s", ["key", "val"]]
+        if not len(e) or not len(s):
+            return _EMPTY_MSG
+        m = e.merge(s, on="key", how="inner")
+        if not len(m):
+            return _EMPTY_MSG
+        agg = (pd.Series(m["val"].to_numpy(), index=m["other"])
+               .groupby(level=0, sort=False).sum())
+        return pd.DataFrame({"dst": agg.index.to_numpy(),
+                             "contrib": agg.to_numpy().astype("int64")})
+
+    def half_step(edges_tagged, state, src_field: str,
+                  out_field: str) -> ray.data.Dataset:
+        """state[src_field] pushed along edges_tagged; returns new
+        state with out_field replaced by the normalized raw sums."""
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["node"], "other": "",
+                "val": df[src_field].astype("int64"), "side": "s",
+                "__bkt": _bkt(df["node"], n_buckets)})
+
+        msgs = (edges_tagged.union(
+            state.map_batches(tag_state, batch_format="pandas"))
+            .groupby("__bkt")
+            .map_groups(push_group, batch_format="pandas")).materialize()
+        total = int(msgs.sum("contrib") or 0)
+
+        def tag_msgs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["dst"], "val": df["contrib"].astype("int64"),
+                "side": "c", "aux": np.int64(0),
+                "__bkt": _bkt(df["dst"], n_buckets)})
+
+        keep_field = "hub" if out_field == "auth" else "auth"
+
+        def tag_state2(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["node"], "val": np.int64(0), "side": "n",
+                "aux": df[keep_field].astype("int64"),
+                "__bkt": _bkt(df["node"], n_buckets)})
+
+        def fold_state(g: pd.DataFrame, _total: int = total
+                       ) -> pd.DataFrame:
+            nrows = g.loc[g["side"] == "n", ["key", "aux"]]
+            if not len(nrows):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=object),
+                    "auth": pd.Series([], dtype="int64"),
+                    "hub": pd.Series([], dtype="int64")})
+            c = g.loc[g["side"] == "c"]
+            raw = (pd.Series(c["val"].to_numpy(), index=c["key"])
+                   .groupby(level=0, sort=False).sum())
+            pos = raw.index.get_indexer(nrows["key"])
+            rv = raw.to_numpy(dtype=np.int64) if len(raw) else (
+                np.zeros(1, dtype=np.int64))
+            raw_n = np.where(pos >= 0, rv[np.clip(pos, 0, None)],
+                             np.int64(0))
+            if _total == 0:
+                new = np.zeros(len(raw_n), dtype=np.int64)
+            else:
+                # raw * scale exceeds int64 — exact Python ints, the
+                # broadcast regime's arithmetic verbatim
+                new = np.fromiter(
+                    (int(x) * scale // _total for x in raw_n),
+                    dtype=np.int64, count=len(raw_n))
+            out = {"node": nrows["key"].to_numpy(),
+                   out_field: new,
+                   keep_field: nrows["aux"].to_numpy()}
+            return pd.DataFrame(out)[["node", "auth", "hub"]]
+
+        return (msgs.map_batches(tag_msgs, batch_format="pandas")
+                .union(state.map_batches(tag_state2,
+                                         batch_format="pandas"))
+                .groupby("__bkt")
+                .map_groups(fold_state, batch_format="pandas")
+                ).materialize()
+
+    for _ in range(iters):
+        state = half_step(by_src, state, "hub", "auth")
+        state = half_step(by_dst, state, "auth", "hub")
+    return state
+
+
 def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
-         n_buckets: int = 32) -> ray.data.Dataset:
+         n_buckets: int = 32, mode: str = "auto",
+         max_broadcast_nodes: int = 2_000_000) -> ray.data.Dataset:
     """HITS hubs-and-authorities over (src, dst) edges — the
     complementary link signal to :func:`pagerank` (authorities =
     heavily-referenced content, hubs = good link collections; both are
@@ -436,11 +556,11 @@ def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
     on two already-driver-resident vectors); the DuckDB twin uses
     native HUGEINT.
 
-    Broadcast regime only (object-store node table, zero shuffles per
-    iteration — bounded exactly like :func:`_pagerank_broadcast`);
-    graphs beyond that bound want the pagerank bucketed message-passing
-    pattern with (hub, auth) riding one state row, which this module
-    documents as the scale path but does not duplicate.
+    Two execution regimes with identical (bit-exact) results, exactly
+    as :func:`pagerank`: ``broadcast`` (object-store node table, zero
+    shuffles per iteration) up to ``max_broadcast_nodes``, and
+    ``bucketed`` (the 100-TB path — :func:`_hits_bucketed` message
+    passing; (auth, hub) state never assembles in one place).
 
     Returns (node, auth, hub)."""
     # HITS never uses out-degree: skip edges_with_outdeg's shuffle and
@@ -457,6 +577,12 @@ def hits(edges: ray.data.Dataset, iters: int = 4, scale: int = 10**12,
                                      "auth": df["outdeg"],
                                      "hub": df["outdeg"]}),
             batch_format="pandas")
+    if mode == "auto":
+        mode = "broadcast" if n <= max_broadcast_nodes else "bucketed"
+    if mode == "bucketed":
+        return _hits_bucketed(edges_m, nodes, n, iters, scale, n_buckets)
+    if mode != "broadcast":
+        raise ValueError(f"unknown hits mode: {mode}")
     setup_ref = _fold_node_table.remote(*nodes.to_arrow_refs())
 
     def _norm(raw: np.ndarray) -> np.ndarray:
