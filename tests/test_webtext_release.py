@@ -61,6 +61,25 @@ def test_release_from_checkpoint(ray_session, corpus, tmp_path):
     assert again["n_rows"] == manifest["n_rows"]
 
 
+def test_cli_crawl_release_flag(ray_session, corpus, tmp_path, capsys):
+    """`--crawl --release DIR` runs the release pipeline over the
+    fresh checkpoint and reports its manifest in the summary JSON."""
+    import pyarrow.parquet as pq
+
+    from web_scraper_ray.__main__ import main
+
+    url = (pq.read_table(f"{corpus}/pages", columns=["url"])
+           .column("url")[0].as_py())
+    rel = str(tmp_path / "rel")
+    rc = main([url, "--corpus", corpus, "--crawl",
+               "--checkpoint-dir", str(tmp_path / "ckpt"),
+               "--release", rel, "--max-depth", "1"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["release"]["n_files"] >= 1
+    assert os.path.exists(os.path.join(rel, "_manifest.json"))
+
+
 def test_release_missing_checkpoint(ray_session, tmp_path):
     from web_scraper_ray.pipelines.webtext import webtext_release
 

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
     p.add_argument("--crawl", action="store_true",
                    help="run the frontier crawl from the seeds")
     p.add_argument("--checkpoint-dir", default="/tmp/wsr_cli_ckpt")
+    p.add_argument("--release", default=None, metavar="DIR",
+                   help="after --crawl, run the webtext release "
+                        "pipeline (host-boilerplate strip + C4 line "
+                        "filter) over the checkpoint and write the "
+                        "cleaned corpus + manifest to DIR")
     p.add_argument("--resume", action="store_true",
                    help="continue from an existing checkpoint dir")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -90,13 +95,20 @@ def main(argv=None) -> int:
                 config=crawl_config_from(config),
                 resume=args.resume,
             )
-            print(json.dumps({
+            summary = {
                 "rounds": res.rounds,
                 "admitted": res.n_admitted,
                 "fetched": res.n_fetched,
                 "seen": res.seen.size(),
                 "checkpoint_dir": res.checkpoint_dir,
-            }))
+            }
+            if args.release:
+                from .pipelines.webtext import webtext_release
+
+                summary["release"] = webtext_release(
+                    args.checkpoint_dir, args.release,
+                    from_checkpoint=True)
+            print(json.dumps(summary))
         else:
             from .pipelines.job import run_job
 
