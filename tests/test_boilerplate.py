@@ -71,6 +71,63 @@ def test_strip_boilerplate_regime_parity(ray_session):
     pd.testing.assert_frame_equal(run("broadcast"), run("bucketed"))
 
 
+def _model_strip(rows, min_pages):
+    """Pure-python oracle of strip_boilerplate (module-doc rules)."""
+    from collections import defaultdict
+
+    host_of = lambda u: u.split("://", 1)[1].split("/", 1)[0] if "://" in u else ""  # noqa: E731
+    pages_per = defaultdict(set)
+    for r in rows:
+        h = host_of(r["url"])
+        for ln in set(r["text"].split("\n")):
+            if ln != "":
+                pages_per[(h, ln)].add(r["url"])
+    bp = {k for k, urls in pages_per.items() if len(urls) >= min_pages}
+    out = {}
+    for r in rows:
+        h = host_of(r["url"])
+        kept, dropped = [], 0
+        for ln in r["text"].split("\n"):
+            if ln != "" and (h, ln) in bp:
+                dropped += 1
+            else:
+                kept.append(ln)
+        out[r["url"]] = ("\n".join(kept), dropped)
+    return out
+
+
+def test_strip_boilerplate_fuzz_model_parity(ray_session):
+    """Random small corpora: both regimes equal the pure-python model
+    (explode/rejoin edge cases — empty texts, whitespace lines,
+    single-page hosts, shared lines across hosts)."""
+    import random
+
+    import ray.data
+
+    from web_scraper_ray.ops.boilerplate import strip_boilerplate
+
+    rng = random.Random(7)
+    lines_pool = ["NAV", "", " ", "tail", "a b c.", "| x |", "x\t",
+                  "longer prose line here.", "```"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randrange(4, 18)):
+            host = f"h{rng.randrange(3)}.ex"
+            text = "\n".join(rng.choice(lines_pool)
+                             for _ in range(rng.randrange(0, 7)))
+            rows.append({"url": f"https://{host}/p{i}", "text": text})
+        want = _model_strip(rows, min_pages=2)
+        for mode in ("broadcast", "bucketed"):
+            got = (strip_boilerplate(ray.data.from_items(rows),
+                                     min_pages=2, mode=mode, n_buckets=4)
+                   .to_pandas())
+            assert len(got) == len(rows), (trial, mode)
+            for _, r in got.iterrows():
+                wtext, wdrop = want[r["url"]]
+                assert r["text"] == wtext, (trial, mode, r["url"])
+                assert r["n_dropped"] == wdrop, (trial, mode, r["url"])
+
+
 def test_strip_boilerplate_bad_mode(ray_session):
     from web_scraper_ray.ops.boilerplate import strip_boilerplate
 
