@@ -1390,6 +1390,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         old, new = _snapshot_pair(sf_dir)
         return recrawl_plan(old, new, budget=100)
 
+    def q_recrawl_refresh(sf_dir: str):
+        # the recrawl loop closed: diff → budgeted plan → sparse
+        # refetch of refreshed content (ops/diff.py:recrawl_refresh;
+        # broadcast semi-join — the plan is budget-bounded)
+        from web_scraper_ray.ops.diff import recrawl_refresh
+
+        old, new = _snapshot_pair(sf_dir)
+        return recrawl_refresh(old, new, budget=100)
+
     def q_corpus_profile(sf_dir: str):
         # six-row corpus report (ops/profile.py): counts, HLL vocab
         # estimate, exact integer quantiles, distinct sources
@@ -2164,7 +2173,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "corpus_diff": q_corpus_diff,
         "indexed_fetch": q_indexed_fetch,
-        "pii_redact": q_pii_redact,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "crawl_round0": q_crawl_round0,
@@ -2185,6 +2193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_host_lookup": q_cdx_host_lookup,
         "media_features": q_media_features,
         "recrawl_plan": q_recrawl_plan,
+        "recrawl_refresh": q_recrawl_refresh,
+        "pii_redact": q_pii_redact,
         "corpus_profile": q_corpus_profile,
         "approx_distinct_events": q_approx_distinct_events,
         "bloom_candidates": q_bloom_candidates,
@@ -4154,6 +4164,46 @@ def oracle_sql() -> dict[str, str]:
             FROM v WHERE change <> 'removed'
             ORDER BY priority DESC, doc_id ASC
             LIMIT 100
+        """,
+        # plan → sparse refetch composite (ops/diff.py:recrawl_refresh)
+        "recrawl_refresh": """
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN text || 'x'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000, text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            o AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM documents),
+            n AS (SELECT doc_id,
+                         ('0x' || substr(md5(COALESCE(text, '')), 1, 16))
+                             ::UBIGINT & 9223372036854775807::UBIGINT AS h
+                  FROM newt),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         o.h AS ho, n.h AS hn
+                  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+            v AS (SELECT doc_id,
+                         CASE WHEN ho IS NULL THEN 'added'
+                              WHEN hn IS NULL THEN 'removed'
+                              WHEN ho <> hn THEN 'changed'
+                              ELSE 'unchanged' END AS change
+                  FROM j),
+            plan AS (
+                SELECT doc_id, change,
+                       CASE change WHEN 'changed' THEN 3
+                                   WHEN 'added' THEN 2
+                                   ELSE 1 END::BIGINT AS priority
+                FROM v WHERE change <> 'removed'
+                ORDER BY priority DESC, doc_id ASC
+                LIMIT 100
+            )
+            SELECT p.doc_id, p.change, p.priority, t.text
+            FROM plan p JOIN newt t USING (doc_id)
         """,
         # corpus profiling report (ops/profile.py): every metric an
         # already-oracled primitive (counts, HLL vocab, integer

@@ -1776,6 +1776,30 @@ def test_recrawl_plan_priorities(ray_session):
     assert len(full) == 10 and 9 not in set(full["doc_id"])
 
 
+def test_recrawl_refresh_fetches_planned_content(ray_session):
+    """Plan → sparse refetch: every planned key comes back with its
+    NEW snapshot text (changed rows carry the refreshed content),
+    nothing beyond the plan is fetched."""
+    import ray.data
+
+    from web_scraper_ray.ops.diff import recrawl_refresh
+
+    old = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    new_rows = ([{"doc_id": i, "text": f"t{i}x"} for i in (2, 7)]
+                + [{"doc_id": i, "text": f"t{i}"}
+                   for i in range(10) if i not in (2, 7, 9)]
+                + [{"doc_id": 20, "text": "fresh"}])
+    out = (recrawl_refresh(old, ray.data.from_items(new_rows), budget=4)
+           .to_pandas().sort_values(["priority", "doc_id"],
+                                    ascending=[False, True])
+           .reset_index(drop=True))
+    assert list(out["doc_id"]) == [2, 7, 20, 0]
+    assert list(out["text"]) == ["t2x", "t7x", "fresh", "t0"]
+    assert list(out["change"]) == ["changed", "changed", "added",
+                                   "unchanged"]
+
+
 def test_heavy_hitters_exact_on_skewed_corpus(ray_session):
     """Misra-Gries + exact recount returns EXACTLY the true heavy set
     on a Zipf-ish corpus where the batch-local filter really prunes,
