@@ -1593,7 +1593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         corpus = _round0_corpus()
         ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
-        return strip_boilerplate(ds, min_pages=3)
+        # deterministic final order (same canonical-sort discipline as
+        # q_webtext_clean; the driver hash should never depend on Ray
+        # block arrival order)
+        return strip_boilerplate(ds, min_pages=3).sort("url")
 
     def q_dup_cluster_hist(sf_dir: str):
         # exact-duplicate cluster-size histogram — the dedup family's
@@ -1642,15 +1645,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4 line filter (ops/lines.py) — per page line counts, doc
         # verdict, and the surviving text, all under one hash check.
         # Line-filter params fit the synthetic corpus's prose shape
-        # (min_words=3; ')' counted terminal — list/paren lines)
+        # (min_words=3; ')' counted terminal — list/paren lines).
+        # CORRECTNESS_r04 post-mortem: this was the round's one hash
+        # failure — the raw line_filter_stats ``kept`` column is bool
+        # while the SQL twin emits BIGINT; the driver's value hash
+        # distinguishes True from 1 (rows+schema green, hash red).
+        # Same bool→int64 discipline as q_c4_line_filter, plus a
+        # deterministic final sort so the output order is canonical.
+        import pandas as pd
+
         from web_scraper_ray.ops.boilerplate import strip_boilerplate
         from web_scraper_ray.ops.lines import line_filter_stats
 
         corpus = _round0_corpus()
         ds = sized_read_parquet(f"{corpus}/pages", columns=["url", "text"])
         stripped = strip_boilerplate(ds, min_pages=3)
-        return line_filter_stats(stripped, text_col="text", id_col="url",
-                                 min_words=3, terminal='.!?")')
+        out = line_filter_stats(stripped, text_col="text", id_col="url",
+                                min_words=3, terminal='.!?")')
+
+        def as_int(df: pd.DataFrame) -> pd.DataFrame:
+            # bool → int64: no oracle-checked query emits booleans
+            # (driver comparator discipline); clean_text provably
+            # non-null (fill_value="" upstream, re-asserted here)
+            df = df.copy()
+            df["kept"] = df["kept"].astype("int64")
+            df["clean_text"] = df["clean_text"].fillna("")
+            return df
+
+        return out.map_batches(as_int, batch_format="pandas").sort("url")
 
     def q_canonical_urls(sf_dir: str):
         # URL canonicalization + canonical dedup (ops/urldedup.py):

@@ -88,6 +88,24 @@ def main() -> int:
             t_ray = time.time() - t0
             t1 = time.time()
             if name in sql:
+                # driver-comparator discipline: the driver's value hash
+                # distinguishes bool True from BIGINT 1 (webtext_clean
+                # failed r4 exactly this way) and null from ''. The
+                # lenient assert_frame_equal below masks both, so fail
+                # them explicitly here.
+                bool_cols = [c for c in ray_df.columns
+                             if pd.api.types.is_bool_dtype(ray_df[c])]
+                if bool_cols:
+                    results[name] = {
+                        "status": "BOOL_COLS", "detail": str(bool_cols),
+                        "rows": len(ray_df),
+                        "t_ray": round(t_ray, 2), "t_sql": 0.0,
+                    }
+                    r = results[name]
+                    print(f"{name:32s} {r['status']:9s} rows={r['rows']:>7} "
+                          f"ray={r['t_ray']:>6.2f}s sql={r['t_sql']:>6.2f}s "
+                          f"{r['detail'][:80]}", file=sys.stderr, flush=True)
+                    continue
                 sql_df = _normalize(con.execute(sql[name]).df())
                 t_sql = time.time() - t1
                 if list(ray_df.columns) != list(sql_df.columns):
