@@ -108,6 +108,7 @@ from ..functions.urls import (
     url_hash64,
 )
 from ..stages.extract_stage import extract_batch
+from ..vhash import hash64_str
 from .config import CrawlConfig
 from .robots import RobotsRules
 from .seen import SeenSet
@@ -412,15 +413,19 @@ def _bucketed_fetch_join(pages: ray.data.Dataset,
     price of not holding the admitted set in any single process)."""
     n_buckets = _n_buckets()
 
+    # bucket ids come from the vectorized stable hash (vhash.py) on
+    # BOTH sides — any stable function of the url works here (buckets
+    # only co-locate the two sides; the merge key is the url itself)
+
     def tag_frontier(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
+        n = batch.num_rows
         return pa.table(
             {
                 "url": batch["url"],
-                "html": pa.array([b""] * len(urls), pa.binary()),
-                "side": pa.array(["f"] * len(urls), pa.string()),
+                "html": pa.array([b""] * n, pa.binary()),
+                "side": pa.array(["f"] * n, pa.string()),
                 "bucket": pa.array(
-                    [url_hash64(u) % n_buckets for u in urls], pa.int64()
+                    hash64_str(batch["url"]) % n_buckets, pa.int64()
                 ),
                 "priority": batch["priority"],
                 "vt": batch["vt"],
@@ -430,7 +435,6 @@ def _bucketed_fetch_join(pages: ray.data.Dataset,
         )
 
     def tag_pages(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
         n = batch.num_rows
         return pa.table(
             {
@@ -438,7 +442,7 @@ def _bucketed_fetch_join(pages: ray.data.Dataset,
                 "html": pc.cast(batch["html"], pa.binary()),
                 "side": pa.array(["p"] * n, pa.string()),
                 "bucket": pa.array(
-                    [url_hash64(u) % n_buckets for u in urls], pa.int64()
+                    hash64_str(batch["url"]) % n_buckets, pa.int64()
                 ),
                 "priority": pa.array([0] * n, pa.int64()),
                 "vt": pa.array([0.0] * n, pa.float64()),

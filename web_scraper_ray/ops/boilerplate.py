@@ -16,8 +16,8 @@ Ray-Data shape (the dedup-family pattern, ops/dedup.py module doc —
 line TEXT never rides a shuffle):
 
 1. decision pass ships only ``(host, k, c)`` combiner partials, where
-   ``k`` is an 8-byte blake2b of ``host|line`` (the family's compact
-   content key; collisions are 2^-64-scale and would only merge two
+   ``k`` is a stable 64-bit vectorized content key of (host, line)
+   (vhash.py — collisions are 2^-63-scale and would only merge two
    line counts) and ``c`` counts distinct batch pages carrying the
    line. A page is one row, so its lines never span batches: the
    global ``count(DISTINCT url)`` is exactly the SUM of batch
@@ -37,6 +37,14 @@ line TEXT never rides a shuffle):
    holds the full set — right when hosts × boilerplate lines outgrow
    a node. ``mode="auto"`` switches on the measured set size.
 
+Kernel discipline: every per-batch pass is Arrow-native — regex host
+extract, line split/flatten, hashing, membership, and the ordered
+rejoin (``LargeListArray`` rebuild + ``binary_join``) all run in
+Arrow/numpy kernels; no Python string ever materializes in the hot
+path (the round-4 per-line blake2b generator was the bench's slowest
+kernel). Rebuild is keyed on ROW POSITION, not url, so duplicate urls
+in one batch/bucket (multi-snapshot corpora) rebuild independently.
+
 Parity discipline (the DuckDB twin in ``__ray_entry__.oracle_sql``
 replays every rule over line TEXT — the hashes are internal keys
 only): host = ``regexp_extract(url, '://([^/]+)', 1)``; lines split
@@ -48,50 +56,60 @@ boilerplate comes back with empty text.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
+from ..vhash import hash64_combine, hash64_str
+
 _HOST_RE = r"://([^/]+)"
+_HOST_RE_ARROW = r"://(?P<h>[^/]+)"
+
+_EMPTY_PARTIAL = pa.table({
+    "host": pa.array([], pa.large_string()),
+    "k": pa.array([], pa.int64()),
+    "c": pa.array([], pa.int64()),
+    "__bkt": pa.array([], pa.int64())})
+
+_EMPTY_INVENTORY = pa.table({
+    "host": pa.array([], pa.large_string()),
+    "line": pa.array([], pa.large_string()),
+    "n_pages": pa.array([], pa.int64()),
+    "__bkt": pa.array([], pa.int64())})
 
 
-def _k64(host: np.ndarray, line: np.ndarray) -> np.ndarray:
-    """8-byte blake2b content key of host|line, non-negative int64
-    (stable across processes and library versions, unlike
-    pd.util.hash_array)."""
-    b = hashlib.blake2b
-    return np.fromiter(
-        (int.from_bytes(b((h + "\x1f" + ln).encode(), digest_size=8)
-                        .digest(), "big") >> 1
-         for h, ln in zip(host, line)),
-        dtype=np.int64, count=len(host))
+def _hosts_of(url: pa.Array) -> pa.Array:
+    """host per page — ``regexp_extract(url, '://([^/]+)', 1)``, '' on
+    no match (same as the SQL twin)."""
+    return pc.fill_null(
+        pc.struct_field(pc.extract_regex(url, _HOST_RE_ARROW), "h"), "")
 
 
-def _host_k64(host: np.ndarray) -> np.ndarray:
-    b = hashlib.blake2b
-    return np.fromiter(
-        (int.from_bytes(b(h.encode(), digest_size=8).digest(), "big") >> 1
-         for h in host),
-        dtype=np.int64, count=len(host))
+def _line_rows(url: pa.Array, text: pa.Array):
+    """Arrow-native explode of a (url, text) batch into line rows:
+    ``(host_per_page, parent_row, flat_lines, k, nonempty)`` where
+    ``k`` is the stable content key of (host, line) per line and
+    ``nonempty`` marks lines != ''. No Python strings materialize."""
+    host = _hosts_of(url)
+    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    parent = pc.list_parent_indices(lines).to_numpy().astype(
+        np.int64, copy=False)
+    flat = pc.list_flatten(lines)
+    k = hash64_combine(hash64_str(host)[parent], hash64_str(flat))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return host, parent, flat, k, nonempty
 
 
-def _explode_lines(df: pd.DataFrame, url_col: str,
-                   text_col: str) -> pd.DataFrame:
-    """(url, host, line) rows of a batch, vectorized repeat-explode."""
-    host = df[url_col].str.extract(_HOST_RE, expand=False).fillna("")
-    lines = df[text_col].fillna("").str.split("\n")
-    cnt = lines.str.len().to_numpy()
-    return pd.DataFrame({
-        url_col: np.repeat(df[url_col].to_numpy(), cnt),
-        "host": np.repeat(host.to_numpy(), cnt),
-        "line": np.concatenate(lines.to_numpy()) if len(df)
-                else np.array([], dtype=object),
-    })
+def _member(ks: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Membership of each key in the sorted key array ``ks``."""
+    if not len(ks):
+        return np.zeros(len(k), dtype=bool)
+    pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+    return ks[pos] == k
 
 
 def _qualifying_keys(
@@ -105,22 +123,35 @@ def _qualifying_keys(
     ``>= min_pages`` distinct pages of its host. Only int64 keys +
     short host strings ride the shuffle."""
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "host": pd.Series([], dtype=object),
-                "k": pd.Series([], dtype="int64"),
-                "c": pd.Series([], dtype="int64"),
-                "__bkt": pd.Series([], dtype="int64")})
-        ex = _explode_lines(df, url_col, text_col)
-        ex = ex[ex["line"] != ""].drop_duplicates(
-            ["host", "line", url_col])
-        agg = (ex.groupby(["host", "line"], sort=False)[url_col]
-                 .size().reset_index(name="c"))
-        agg["k"] = _k64(agg["host"].to_numpy(), agg["line"].to_numpy())
-        agg["c"] = agg["c"].astype("int64")
-        agg["__bkt"] = agg["k"] % np.int64(n_buckets)
-        return agg[["host", "k", "c", "__bkt"]]
+    def partials(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _EMPTY_PARTIAL
+        url = batch[url_col].combine_chunks()
+        text = batch[text_col].combine_chunks()
+        host, parent, _flat, k, nonempty = _line_rows(url, text)
+        k, parent = k[nonempty], parent[nonempty]
+        if not len(k):
+            return _EMPTY_PARTIAL
+        # distinct (line-key, page) pairs, then pages per key — pure
+        # int64 sorting, no string groupby
+        o = np.lexsort((parent, k))
+        ks, ps = k[o], parent[o]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        first[1:] = (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])
+        ku, pu = ks[first], ps[first]
+        new_key = np.empty(len(ku), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ku[1:] != ku[:-1]
+        starts = np.flatnonzero(new_key)
+        c = np.diff(np.append(starts, len(ku)))
+        uk = ku[starts]
+        return pa.table({
+            "host": host.cast(pa.large_string()).take(
+                pa.array(pu[starts], pa.int64())),
+            "k": pa.array(uk, pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+            "__bkt": pa.array(uk % np.int64(n_buckets), pa.int64())})
 
     def count_group(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby("k", sort=False)
@@ -131,7 +162,7 @@ def _qualifying_keys(
         return agg[["host", "k", "n_pages"]]
 
     return (ds.select_columns([url_col, text_col])
-              .map_batches(partials, batch_format="pandas")
+              .map_batches(partials, batch_format="pyarrow")
               .groupby("__bkt")
               .map_groups(count_group, batch_format="pandas"))
 
@@ -165,30 +196,40 @@ def host_boilerplate_lines(
                             n_buckets).materialize()
     ref = _key_table_task.remote(*keys.to_arrow_refs())
 
-    def recover(df: pd.DataFrame) -> pd.DataFrame:
+    def recover(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _EMPTY_INVENTORY
         kt = ray.get(ref)  # zero-copy plasma read
-        ex = _explode_lines(df, url_col, text_col)
-        ex = ex[ex["line"] != ""].drop_duplicates(["host", "line"])
-        if not len(ex):
-            return pd.DataFrame({
-                "host": pd.Series([], dtype=object),
-                "line": pd.Series([], dtype=object),
-                "n_pages": pd.Series([], dtype="int64"),
-                "__bkt": pd.Series([], dtype="int64")})
-        k = _k64(ex["host"].to_numpy(), ex["line"].to_numpy())
         ks = kt["k"].to_numpy()
-        pos = np.searchsorted(ks, k)
-        pos_c = np.minimum(pos, len(ks) - 1) if len(ks) else pos
-        hit = (ks[pos_c] == k) if len(ks) else np.zeros(len(k), bool)
-        out = ex.loc[hit, ["host", "line"]].copy()
-        out["n_pages"] = kt["n_pages"].to_numpy()[pos_c[hit]]
-        out["__bkt"] = k[hit] % np.int64(n_buckets)
-        return out
+        url = batch[url_col].combine_chunks()
+        text = batch[text_col].combine_chunks()
+        host, parent, flat, k, nonempty = _line_rows(url, text)
+        hit = _member(ks, k) & nonempty
+        idx = np.flatnonzero(hit)
+        if not len(idx):
+            return _EMPTY_INVENTORY
+        # one row per distinct qualifying key in this batch
+        kk = k[idx]
+        o = np.argsort(kk, kind="stable")
+        firsts = np.empty(len(o), dtype=bool)
+        firsts[0] = True
+        firsts[1:] = kk[o][1:] != kk[o][:-1]
+        sel = idx[o][firsts]
+        ku = k[sel]
+        pos = np.searchsorted(ks, ku)
+        return pa.table({
+            "host": host.cast(pa.large_string()).take(
+                pa.array(parent[sel], pa.int64())),
+            "line": flat.cast(pa.large_string()).take(
+                pa.array(sel, pa.int64())),
+            "n_pages": pa.array(
+                kt["n_pages"].to_numpy()[pos], pa.int64()),
+            "__bkt": pa.array(ku % np.int64(n_buckets), pa.int64())})
 
     # many batches re-emit the same qualifying line → one small dedup
     # fold over qualifying rows only (inventory-shaped, not corpus-)
     return (ds.select_columns([url_col, text_col])
-              .map_batches(recover, batch_format="pandas")
+              .map_batches(recover, batch_format="pyarrow")
               .groupby("__bkt")
               .map_groups(
                   lambda g: g.drop_duplicates(["host", "line"])
@@ -196,31 +237,33 @@ def host_boilerplate_lines(
                   batch_format="pandas"))
 
 
-def _strip_batch_by_keys(df: pd.DataFrame, ks: np.ndarray, url_col: str,
-                         text_col: str) -> pd.DataFrame:
-    """Rebuild a batch of pages without lines whose host|line key is in
-    the sorted key array (order-preserving, empty lines kept)."""
-    if not len(df):
-        return pd.DataFrame({
-            url_col: pd.Series([], dtype=object),
-            text_col: pd.Series([], dtype=object),
-            "n_dropped": pd.Series([], dtype="int64")})
-    ex = _explode_lines(df, url_col, text_col)
-    ex["p"] = ex.groupby(url_col, sort=False).cumcount()
-    if len(ks):
-        k = _k64(ex["host"].to_numpy(), ex["line"].to_numpy())
-        pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
-        drop = (ks[pos] == k) & (ex["line"] != "").to_numpy()
-    else:
-        drop = np.zeros(len(ex), dtype=bool)
-    kept = ex.loc[~drop].sort_values([url_col, "p"], kind="mergesort")
-    agg = kept.groupby(url_col, sort=False)["line"].agg("\n".join)
-    out = pd.DataFrame({url_col: df[url_col].to_numpy()})
-    out[text_col] = out[url_col].map(agg).fillna("")
-    n_drop = ex.loc[drop].groupby(url_col, sort=False).size()
-    out["n_dropped"] = (out[url_col].map(n_drop).fillna(0)
-                        .astype("int64"))
-    return out
+def _strip_rows(url: pa.Array, text: pa.Array, ks: np.ndarray,
+                url_col: str, text_col: str) -> pa.Table:
+    """Rebuild pages without lines whose (host, line) key is in the
+    sorted key array: ordered rejoin keyed on ROW POSITION (duplicate
+    urls rebuild independently), empty lines kept."""
+    n = len(url)
+    if not n:
+        return pa.table({
+            url_col: pa.array([], pa.large_string()),
+            text_col: pa.array([], pa.large_string()),
+            "n_dropped": pa.array([], pa.int64())})
+    _host, parent, flat, k, nonempty = _line_rows(url, text)
+    drop = _member(ks, k) & nonempty
+    keep = ~drop
+    counts = np.bincount(parent[keep], minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    kept_lines = flat.cast(pa.large_string()).filter(
+        pa.array(keep, pa.bool_()))
+    rebuilt = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), kept_lines)
+    n_dropped = np.bincount(parent[drop], minlength=n)
+    return pa.table({
+        url_col: url.cast(pa.large_string()),
+        text_col: pc.binary_join(
+            rebuilt, pa.scalar("\n", pa.large_string())),
+        "n_dropped": pa.array(n_dropped.astype(np.int64), pa.int64())})
 
 
 def strip_boilerplate(
@@ -243,41 +286,57 @@ def strip_boilerplate(
     if mode == "broadcast":
         ref = _key_table_task.remote(*keys.to_arrow_refs())
 
-        def rb(df: pd.DataFrame) -> pd.DataFrame:
+        def rb(batch: pa.Table) -> pa.Table:
             ks = ray.get(ref)["k"].to_numpy()
-            return _strip_batch_by_keys(df, ks, url_col, text_col)
+            return _strip_rows(batch[url_col].combine_chunks(),
+                               batch[text_col].combine_chunks(),
+                               ks, url_col, text_col)
 
         return ds.select_columns([url_col, text_col]).map_batches(
-            rb, batch_format="pandas")
+            rb, batch_format="pyarrow")
 
     if mode != "bucketed":
         raise ValueError(f"unknown strip_boilerplate mode: {mode}")
 
-    def tag_pages(df: pd.DataFrame) -> pd.DataFrame:
-        host = df[url_col].str.extract(_HOST_RE, expand=False).fillna("")
-        out = df[[url_col, text_col]].copy()
-        out["k"] = np.int64(0)
-        out["__side"] = "c"
-        out["__bkt"] = (_host_k64(host.to_numpy())
-                        % np.int64(n_buckets))
-        return out
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        host = _hosts_of(batch[url_col].combine_chunks())
+        return pa.table({
+            url_col: batch[url_col].combine_chunks().cast(
+                pa.large_string()),
+            text_col: pc.fill_null(batch[text_col].combine_chunks(),
+                                   "").cast(pa.large_string()),
+            "k": pa.array(np.zeros(batch.num_rows, np.int64),
+                          pa.int64()),
+            "__side": pa.array(["c"] * batch.num_rows,
+                               pa.large_string()),
+            "__bkt": pa.array(hash64_str(host) % np.int64(n_buckets),
+                              pa.int64())})
 
-    def tag_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            url_col: "", text_col: "",
-            "k": df["k"].to_numpy(dtype=np.int64), "__side": "b",
-            "__bkt": (_host_k64(df["host"].to_numpy(dtype=object))
-                      % np.int64(n_buckets)),
-        })
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            url_col: pa.array([""] * n, pa.large_string()),
+            text_col: pa.array([""] * n, pa.large_string()),
+            "k": batch["k"].combine_chunks().cast(pa.int64()),
+            "__side": pa.array(["b"] * n, pa.large_string()),
+            "__bkt": pa.array(
+                hash64_str(batch["host"].combine_chunks())
+                % np.int64(n_buckets), pa.int64())})
 
     both = ds.select_columns([url_col, text_col]).map_batches(
-        tag_pages, batch_format="pandas"
-    ).union(keys.map_batches(tag_keys, batch_format="pandas"))
+        tag_pages, batch_format="pyarrow"
+    ).union(keys.map_batches(tag_keys, batch_format="pyarrow"))
 
     def rebuild_group(g: pd.DataFrame) -> pd.DataFrame:
-        pages = g.loc[g["__side"] == "c", [url_col, text_col]]
+        pages = g.loc[g["__side"] == "c"]
         ks = np.sort(g.loc[g["__side"] == "b", "k"].to_numpy(np.int64))
-        return _strip_batch_by_keys(pages, ks, url_col, text_col)
+        out = _strip_rows(
+            pa.array(pages[url_col], pa.large_string(),
+                     from_pandas=True),
+            pa.array(pages[text_col], pa.large_string(),
+                     from_pandas=True),
+            ks, url_col, text_col)
+        return out.to_pandas()
 
     return both.groupby("__bkt").map_groups(
         rebuild_group, batch_format="pandas")
