@@ -1727,6 +1727,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = load_crawl_order(ckpt)
         return df[["round", "url", "host", "vt", "priority"]]
 
+    def q_crawl_order2(sf_dir: str):
+        # a FULL 2-round crawl under the driver's hash check
+        # (round-4 verdict #4): round 1's admitted set + virtual times
+        # are a pure function of round 0's result, so the iterative
+        # engine's core contract — discovery, seen anti-join,
+        # first-wins dedup, politeness bases carried across rounds —
+        # stops resting on pytest alone. The SQL twin replays both
+        # rounds as CTEs (_crawl_order2_sql).
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _round0_corpus()
+        ckpt = "/tmp/wsr_order2_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(max_depth=1, seen_shards=2),
+        )
+        df = load_crawl_order(ckpt)
+        return df[["round", "url", "host", "vt", "priority"]]
+
     def q_crawl_round0_gated(sf_dir: str):
         # round 0 with the URL pre-fetch gate wired into admission
         # (CrawlConfig.url_gate → ops/urlgate.py, the RefinedWeb
@@ -2245,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "crawl_round0": q_crawl_round0,
         "crawl_round0_gated": q_crawl_round0_gated,
+        "crawl_order2": q_crawl_order2,
         "file_names": q_file_names,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -2772,7 +2799,7 @@ def _canonical_urls_sql() -> str:
     """
 
 
-def _crawl_round0_sql(gate_pred: str = "") -> str:
+def _crawl_round0_sql(gate_pred: str = "", emit_pli: bool = False) -> str:
     """DuckDB twin of frontier round 0 (crawl/frontier.py:
     _seed_candidates → _admit): URL validity (scheme://netloc),
     canonicalization (lowercase scheme+host, strip default port, empty
@@ -2781,7 +2808,12 @@ def _crawl_round0_sql(gate_pred: str = "") -> str:
     prefixes, first-seed-wins dedup (min seed_index — the _DEDUP_SORT
     key with all parent fields tied), and per-host virtual time
     vt = k * crawl_delay_ms with k the rank under
-    (priority, pvt, pli, url) — bases are zero in round 0."""
+    (priority, pvt, pli, url) — bases are zero in round 0.
+    ``emit_pli`` additionally exposes pli + delay_ms for the round-1
+    oracle (_crawl_order2_sql), which needs the full admitted sort key
+    and per-host delays — the driver-facing round-0 query keeps the
+    5-column shape."""
+    extra = ", pli, delay_ms" if emit_pli else ""
     corpus = _round0_corpus()
     return f"""
         WITH seeds AS (
@@ -2841,8 +2873,114 @@ def _crawl_round0_sql(gate_pred: str = "") -> str:
                     PARTITION BY host
                     ORDER BY pli, url
                ) - 1) * delay_ms AS DOUBLE) AS vt,
-               CAST(0 AS BIGINT) AS priority
+               CAST(0 AS BIGINT) AS priority{extra}
         FROM deduped
+    """
+
+
+def _crawl_order2_sql() -> str:
+    """DuckDB twin of a FULL 2-round crawl (crawl_order2): round 1's
+    admitted set and virtual times are a pure function of round 0's
+    result (crawl/model.py:sequential_crawl, replayed CTE for CTE):
+
+    * parents = round-0 admitted rows in global crawl order
+      ``(vt, priority, pvt, pli, url)`` — priority/pvt constant in
+      round 0, so ``(vt, pli, url)``;
+    * discovered links in document order per parent (the corpus's one
+      anchor shape, duplicates included — ``li`` numbers EVERY href,
+      matching ``enumerate(extract_links(...))``), resolved absolute
+      (corpus hrefs are canonical-absolute or root-relative, pinned by
+      tests/test_graph.py);
+    * screened by the same ignore-pattern + robots rules as seeds,
+      minus the round-0 seen set; first-wins dedup by
+      ``(parent_rank, li)``;
+    * per-host vt: ``(base + k) * delay`` where base counts ALL
+      round-0 admitted rows of the host (fetched_count increments on
+      misses too) and k ranks by ``(pvt, pli, url)`` — priority is
+      inherited (uniformly 0 here).
+    """
+    corpus = _round0_corpus()
+    return f"""
+        WITH adm0 AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY vt, pli, url)
+                       AS parent_rank
+            FROM ({_crawl_round0_sql(emit_pli=True)})
+        ),
+        pages AS (
+            SELECT url, decode(html) AS h
+            FROM read_parquet('{corpus}/pages/*.parquet')
+        ),
+        hrefs0 AS MATERIALIZED (
+            SELECT a.url AS src, a.vt AS pvt, a.parent_rank,
+                   regexp_extract_all(p.h, '<a href="([^"]+)"', 1) AS hs
+            FROM adm0 a JOIN pages p USING (url)
+        ),
+        hrefs AS (
+            SELECT src, pvt, parent_rank,
+                   generate_subscripts(hs, 1) - 1 AS li,
+                   unnest(hs) AS href
+            FROM hrefs0
+        ),
+        resolved AS (
+            SELECT parent_rank, pvt, li,
+                   CASE WHEN contains(href, '://') THEN href
+                        ELSE split_part(src, '/', 1) || '//' ||
+                             split_part(src, '/', 3) || href
+                   END AS dst
+            FROM hrefs
+        ),
+        robots AS (
+            SELECT host, disallow_prefixes,
+                   COALESCE(crawl_delay_ms, 100) AS delay_ms
+            FROM read_parquet('{corpus}/robots.parquet')
+        ),
+        screened AS (
+            SELECT r.*,
+                   lower(split_part(split_part(dst, '://', 2), '/', 1))
+                       AS host,
+                   COALESCE(NULLIF(regexp_extract(
+                       dst, '^[^:]+://[^/]*(/.*)?$', 1), ''), '/')
+                       AS path
+            FROM resolved r
+            WHERE regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]')
+              AND NOT contains(dst, '/tags/')
+              AND NOT contains(dst, '/categories/')
+              AND dst NOT IN (SELECT url FROM adm0)
+        ),
+        allowed AS (
+            SELECT s.*
+            FROM screened s
+            LEFT JOIN robots rb USING (host)
+            WHERE rb.disallow_prefixes IS NULL OR
+                  len(list_filter(rb.disallow_prefixes,
+                                  p -> starts_with(s.path, p))) = 0
+        ),
+        firsts AS (
+            SELECT dst AS url, host, pvt, li
+            FROM allowed
+            QUALIFY row_number() OVER (
+                PARTITION BY dst ORDER BY parent_rank, li) = 1
+        ),
+        base AS (
+            SELECT host, count(*)::BIGINT AS fetched0
+            FROM adm0 GROUP BY host
+        ),
+        round1 AS (
+            SELECT CAST(1 AS BIGINT) AS round, f.url, f.host,
+                   CAST((COALESCE(b.fetched0, 0) +
+                         row_number() OVER (
+                             PARTITION BY f.host
+                             ORDER BY f.pvt, f.li, f.url) - 1)
+                        * COALESCE(rb.delay_ms, 100) AS DOUBLE) AS vt,
+                   CAST(0 AS BIGINT) AS priority
+            FROM firsts f
+            LEFT JOIN base b USING (host)
+            LEFT JOIN robots rb ON rb.host = f.host
+        )
+        SELECT round, url, host, vt, priority FROM adm0
+        UNION ALL
+        SELECT round, url, host, vt, priority FROM round1
     """
 
 
@@ -5041,6 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate": _host_boilerplate_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "webtext_clean": _webtext_clean_sql(),
+        "crawl_order2": _crawl_order2_sql(),
         "render_md_bytes": _render_md_sql(),
         "render_xml_bytes": _render_xml_sql(),
         "render_html_bytes": _render_html_sql(),
