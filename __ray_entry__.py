@@ -1753,6 +1753,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = load_crawl_order(ckpt)
         return df[["round", "url", "host", "vt", "priority"]]
 
+    def q_crawl_resume(sf_dir: str):
+        # the checkpoint/resume path under the driver's hash check
+        # (round-4 verdict #7): run the same 2-round crawl as
+        # q_crawl_order2, "kill" it after round 0 (copy only round-0
+        # checkpoint files to a fresh dir), resume there, and emit the
+        # resumed crawl order. The oracle is the SAME independent
+        # 2-round SQL replay — a hash match proves the resumed run
+        # (seen rebuilt by streaming frontier files, politeness bases
+        # restored from the manifest) equals the uninterrupted crawl.
+        import os
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _round0_corpus()
+        cfg = CrawlConfig(max_depth=1, seen_shards=2)
+        full = "/tmp/wsr_resume_full_ckpt"
+        shutil.rmtree(full, ignore_errors=True)
+        run_crawl(f"{corpus}/pages", f"{corpus}/seeds.parquet", full,
+                  robots_path=f"{corpus}/robots.parquet", config=cfg)
+
+        dst = "/tmp/wsr_resume_ckpt"
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(full):
+            if name.startswith(("frontier_0000", "frontier_0001",
+                                "admitted_0000", "output_0000",
+                                "manifest_0000")):
+                s = os.path.join(full, name)
+                if os.path.isdir(s):
+                    shutil.copytree(s, os.path.join(dst, name))
+                else:
+                    shutil.copy(s, os.path.join(dst, name))
+
+        run_crawl(f"{corpus}/pages", f"{corpus}/seeds.parquet", dst,
+                  robots_path=f"{corpus}/robots.parquet", config=cfg,
+                  resume=True)
+        df = load_crawl_order(dst)
+        return df[["round", "url", "host", "vt", "priority"]]
+
     def q_crawl_round0_gated(sf_dir: str):
         # round 0 with the URL pre-fetch gate wired into admission
         # (CrawlConfig.url_gate → ops/urlgate.py, the RefinedWeb
@@ -2272,6 +2313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round0": q_crawl_round0,
         "crawl_round0_gated": q_crawl_round0_gated,
         "crawl_order2": q_crawl_order2,
+        "crawl_resume": q_crawl_resume,
         "file_names": q_file_names,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -5180,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "webtext_clean": _webtext_clean_sql(),
         "crawl_order2": _crawl_order2_sql(),
+        "crawl_resume": _crawl_order2_sql(),
         "render_md_bytes": _render_md_sql(),
         "render_xml_bytes": _render_xml_sql(),
         "render_html_bytes": _render_html_sql(),
