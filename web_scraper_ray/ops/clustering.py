@@ -70,32 +70,89 @@ def _labels(X: np.ndarray, m: np.ndarray) -> np.ndarray:
     return (d * d).sum(axis=2).argmin(axis=1)
 
 
-def _fit_centroids(
-    ds: ray.data.Dataset, k: int, iters: int,
-    id_col: str, emb_col: str,
-) -> np.ndarray:
-    """Run the Lloyd iterations and return the final fixed-point
-    centroid means (k x dim int64). Init: the embeddings of the ``k``
-    smallest ids, in id order (deterministic, no RNG)."""
-    if k < 1 or iters < 0:
-        raise ValueError(f"bad k={k} / iters={iters}")
+def _frames(blocks) -> list[pd.DataFrame]:
+    """Blocks → pandas inside fold tasks. Arrow blocks drop their
+    pandas schema metadata first: Ray tensor-extension dtype strings in
+    that metadata do not always resolve inside plain @ray.remote
+    workers, and plain inference handles every column type here."""
+    import pyarrow as pa
 
-    init = ds.sort(id_col).limit(k).to_pandas()
+    return [b.replace_schema_metadata(None).to_pandas()
+            if isinstance(b, pa.Table) else b
+            for b in blocks]
+
+
+def _partial_table(cl, n, s) -> "object":
+    """Combiner partial rows as a PLAIN arrow table — ``s`` is
+    list<int64>, never an ndarray object column, so downstream fold
+    tasks can ``to_pandas`` without Ray's tensor extension dtype (whose
+    pandas metadata does not resolve inside plain @ray.remote
+    workers)."""
+    import pyarrow as pa
+
+    return pa.table({
+        "cl": pa.array(cl, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "s": pa.array(s, pa.list_(pa.int64()))})
+
+
+@ray.remote
+def _init_state(k: int, emb_col: str, *blocks):
+    """Fold the k-smallest-id rows into the initial (sums, counts) —
+    a Ray task, so no embedding row lands on the driver."""
+    frames = _frames(blocks)
+    init = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame({emb_col: []}))
     if len(init) < k:
         raise ValueError(
             f"k={k} exceeds the dataset's {len(init)} rows — "
             "k-means needs at least k vectors for its id-ordered init"
         )
-    sums = _quantize(_stack(init[emb_col]))
-    cnts = np.ones(k, dtype=np.int64)
+    return _quantize(_stack(init[emb_col])), np.ones(k, dtype=np.int64)
+
+
+@ray.remote
+def _fold_state(state, *blocks):
+    """Reduce one iteration's k x n_blocks combiner partials into the
+    next (sums, counts) — a Ray task (the _fold_offsets pattern,
+    crawl/ranked_politeness.py), so per-iteration partials never land
+    on the driver. Clusters no point chose keep their previous state."""
+    sums, cnts = state
+    parts = pd.concat(_frames(blocks), ignore_index=True)
+    new_sums, new_cnts = sums.copy(), cnts.copy()
+    for j, grp in parts.groupby("cl"):
+        new_sums[j] = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        new_cnts[j] = int(grp["n"].sum())
+    return new_sums, new_cnts
+
+
+@ray.remote
+def _state_means(state) -> np.ndarray:
+    return _means(*state)
+
+
+def _fit_centroids(
+    ds: ray.data.Dataset, k: int, iters: int,
+    id_col: str, emb_col: str,
+) -> "ray.ObjectRef":
+    """Run the Lloyd iterations and return an ObjectRef to the final
+    fixed-point centroid means (k x dim int64) — init, per-iteration
+    partial folds, and the final means all run as Ray tasks; the
+    driver holds only ObjectRefs. Init: the embeddings of the ``k``
+    smallest ids, in id order (deterministic, no RNG)."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"bad k={k} / iters={iters}")
+
+    init_blocks = ds.sort(id_col).limit(k).materialize().to_arrow_refs()
+    state = _init_state.remote(k, emb_col, *init_blocks)
 
     for _ in range(iters):
-        ref = ray.put((sums, cnts))
+        sref = state
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(df: pd.DataFrame, _sref=sref):
             if not len(df):
-                return pd.DataFrame({"cl": [], "n": [], "s": []})
-            s, c = ray.get(ref)
+                return _partial_table([], [], [])
+            s, c = ray.get(_sref)
             X = _quantize(_stack(df[emb_col]))
             a = _labels(X, _means(s, c))
             out = {"cl": [], "n": [], "s": []}
@@ -103,18 +160,14 @@ def _fit_centroids(
                 sel = X[a == j]
                 out["cl"].append(int(j))
                 out["n"].append(len(sel))
-                out["s"].append(sel.sum(axis=0))
-            return pd.DataFrame(out)
+                out["s"].append(sel.sum(axis=0).tolist())
+            return _partial_table(out["cl"], out["n"], out["s"])
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        new_sums, new_cnts = sums.copy(), cnts.copy()
-        for j, grp in parts.groupby("cl"):
-            new_sums[j] = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
-            new_cnts[j] = int(grp["n"].sum())
-        # clusters no point chose keep their previous (sums, count)
-        sums, cnts = new_sums, new_cnts
+        parts = ds.map_batches(partial,
+                               batch_format="pandas").materialize()
+        state = _fold_state.remote(state, *parts.to_arrow_refs())
 
-    return _means(sums, cnts)
+    return _state_means.remote(state)
 
 
 def kmeans_embeddings(
@@ -127,7 +180,7 @@ def kmeans_embeddings(
     """Lloyd's k-means: ``iters`` assign+update rounds, then a final
     assignment pass under the final centroids. Returns
     ``(id_col, cluster)``."""
-    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
+    final_ref = _fit_centroids(ds, k, iters, id_col, emb_col)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -167,7 +220,7 @@ def semdedup(
     this reason). Cosine verification matches
     :func:`~web_scraper_ray.ops.dedup.embedding_dup_pairs` (float64,
     zero-norm guard)."""
-    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
+    final_ref = _fit_centroids(ds, k, iters, id_col, emb_col)
 
     def assign_with_vec(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[id_col, emb_col]].copy()
@@ -219,7 +272,7 @@ def embedding_outliers(
     (``__ray_entry__.oracle_sql()['embedding_outliers']``). One
     all-to-all: the ``groupby(cluster)`` of (id, cluster, d) int rows
     (k clusters — the coarse key IS the semantic key here)."""
-    final_ref = ray.put(_fit_centroids(ds, k, iters, id_col, emb_col))
+    final_ref = _fit_centroids(ds, k, iters, id_col, emb_col)
 
     def assign_with_dist(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
