@@ -330,6 +330,14 @@ def run_bench() -> dict:
         strip_boilerplate(pages_txt, min_pages=3).count()
         queries["strip_boilerplate"] = round(time.time() - t0, 3)
 
+        # the same strip under the BUCKETED rebuild regime (hosts and
+        # qualifying keys co-located by hash(host) — the 10^8-host path
+        # where no process holds the full key set), recorded so the
+        # scale regime has a number (round-4 verdict #6)
+        t0 = time.time()
+        strip_boilerplate(pages_txt, min_pages=3, mode="bucketed").count()
+        queries["strip_boilerplate_bucketed"] = round(time.time() - t0, 3)
+
         # canonical URL dedup over the pages frontier (vectorized
         # canonicalizer + one slim decision shuffle)
         t0 = time.time()

@@ -86,3 +86,22 @@ def test_canonical_dedup_elects_min(ray_session):
         "https://b.example/",
     ]
     assert out["n_variants"].tolist() == [2, 2, 1]
+
+
+def test_canonicalize_duplicate_index_labels():
+    """Rows sharing an index label canonicalize independently — the
+    query-param explode/rejoin works on positions, not labels."""
+    import pandas as pd
+
+    from web_scraper_ray.ops.urldedup import canonicalize_series
+
+    s = pd.Series(
+        ["https://h.example/p?b=2&a=1", "https://h.example/q?d=4&c=3"],
+        index=[0, 0],
+    )
+    out = canonicalize_series(s)
+    assert list(out.index) == [0, 0]
+    assert out.tolist() == [
+        "https://h.example/p?a=1&b=2",
+        "https://h.example/q?c=3&d=4",
+    ]

@@ -86,3 +86,18 @@ def test_release_missing_checkpoint(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         webtext_release(str(tmp_path / "nope"), str(tmp_path / "out"),
                         from_checkpoint=True)
+
+
+def test_release_refuses_foreign_out_dir(ray_session, corpus, tmp_path):
+    """A non-empty out_dir without _manifest.json is not a prior
+    release — webtext_release must refuse rather than delete data."""
+    import pytest
+
+    from web_scraper_ray.pipelines.webtext import webtext_release
+
+    out = tmp_path / "not_a_release"
+    out.mkdir()
+    (out / "precious.parquet").write_bytes(b"not ours")
+    with pytest.raises(ValueError, match="_manifest.json"):
+        webtext_release(f"{corpus}/pages", str(out))
+    assert (out / "precious.parquet").read_bytes() == b"not ours"

@@ -274,14 +274,31 @@ def strip_boilerplate(
     n_buckets: int = 64,
     mode: str = "auto",
     broadcast_limit: int = 50_000_000,
+    host_limit: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Every page with its host's boilerplate removed:
     ``(url, text, n_dropped)``. ``ds`` is consumed twice (decision +
-    rebuild) — pass a re-readable source."""
+    rebuild) — pass a re-readable source.
+
+    ``mode="auto"`` picks the rebuild regime from the measured
+    qualifying-key table: ``bucketed`` when the key count exceeds
+    ``broadcast_limit`` (per-worker copies of the key array stop
+    fitting) OR when the HLL-estimated distinct-host count exceeds
+    ``host_limit`` (a 10^8-host corpus implies an inventory no single
+    process should hold even before the key count crosses the line —
+    one constant-state sketch scan of the small keys table, never of
+    the corpus)."""
     keys = _qualifying_keys(ds, url_col, text_col, min_pages,
                             n_buckets).materialize()
     if mode == "auto":
-        mode = "broadcast" if keys.count() <= broadcast_limit else "bucketed"
+        if keys.count() > broadcast_limit:
+            mode = "bucketed"
+        else:
+            from .sketch import approx_distinct
+
+            est = approx_distinct(keys, "host").take_all()
+            n_hosts = int(est[0]["n_distinct_est"]) if est else 0
+            mode = "bucketed" if n_hosts > host_limit else "broadcast"
 
     if mode == "broadcast":
         ref = _key_table_task.remote(*keys.to_arrow_refs())

@@ -37,7 +37,12 @@ import ray.data
 
 
 def canonicalize_series(urls: pd.Series) -> pd.Series:
-    """Vectorized canonical form of a url column (module doc rules)."""
+    """Vectorized canonical form of a url column (module doc rules).
+    Index-safe: computes on positions internally (the query-param
+    explode/rejoin would otherwise merge params across rows sharing a
+    duplicate index label), then restores the caller's index."""
+    orig_index = urls.index
+    urls = urls.reset_index(drop=True)
     u = urls.fillna("").astype(str)
     has_scheme = u.str.contains("://", regex=False)
     u0 = u.str.split("#", n=1).str[0]
@@ -78,7 +83,9 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     qstr.update("?" + sq)
 
     canon = scheme + "://" + host + path + qstr
-    return canon.where(has_scheme, u).rename(urls.name)
+    out = canon.where(has_scheme, u).rename(urls.name)
+    out.index = orig_index
+    return out
 
 
 def canonical_dedup(

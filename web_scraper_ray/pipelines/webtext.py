@@ -75,7 +75,18 @@ def webtext_release(
     released = stats.map_batches(finalize, batch_format="pandas")
 
     if os.path.isdir(out_dir):
-        for f in os.listdir(out_dir):
+        existing = os.listdir(out_dir)
+        # only auto-clean a PRIOR RELEASE (identified by its manifest);
+        # refuse to delete parquet from a directory this pipeline did
+        # not write — a mistyped out_dir must not destroy data
+        if existing and "_manifest.json" not in existing:
+            raise ValueError(
+                f"out_dir {out_dir!r} is non-empty but has no "
+                "_manifest.json — refusing to overwrite a directory "
+                "that is not a prior webtext release; pass an empty "
+                "or fresh directory"
+            )
+        for f in existing:
             if f.endswith(".parquet") or f.startswith("_manifest.json"):
                 os.remove(os.path.join(out_dir, f))
     os.makedirs(out_dir, exist_ok=True)
