@@ -338,6 +338,17 @@ def run_bench() -> dict:
         strip_boilerplate(pages_txt, min_pages=3, mode="bucketed").count()
         queries["strip_boilerplate_bucketed"] = round(time.time() - t0, 3)
 
+        # the full webtext cleaning composite (boilerplate strip →
+        # C4 line filter) — the round-4 weak entry, now recorded
+        t0 = time.time()
+        from web_scraper_ray.ops.lines import line_filter_stats
+
+        line_filter_stats(
+            strip_boilerplate(pages_txt, min_pages=3),
+            text_col="text", id_col="url", min_words=3,
+            terminal='.!?")').count()
+        queries["webtext_clean"] = round(time.time() - t0, 3)
+
         # canonical URL dedup over the pages frontier (vectorized
         # canonicalizer + one slim decision shuffle)
         t0 = time.time()

@@ -344,16 +344,15 @@ def strip_boilerplate(
         tag_pages, batch_format="pyarrow"
     ).union(keys.map_batches(tag_keys, batch_format="pyarrow"))
 
-    def rebuild_group(g: pd.DataFrame) -> pd.DataFrame:
-        pages = g.loc[g["__side"] == "c"]
-        ks = np.sort(g.loc[g["__side"] == "b", "k"].to_numpy(np.int64))
-        out = _strip_rows(
-            pa.array(pages[url_col], pa.large_string(),
-                     from_pandas=True),
-            pa.array(pages[text_col], pa.large_string(),
-                     from_pandas=True),
-            ks, url_col, text_col)
-        return out.to_pandas()
+    def rebuild_group(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        pages = g.filter(pc.equal(side, "c"))
+        ks = np.sort(
+            g.filter(pc.equal(side, "b"))["k"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        return _strip_rows(pages[url_col].combine_chunks(),
+                           pages[text_col].combine_chunks(),
+                           ks, url_col, text_col)
 
     return both.groupby("__bkt").map_groups(
-        rebuild_group, batch_format="pandas")
+        rebuild_group, batch_format="pyarrow")
