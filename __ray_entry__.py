@@ -1897,6 +1897,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(render,
                               batch_format="pandas").sort("doc_id")
 
+    def q_extract_bytes(sf_dir: str):
+        # extraction-kernel BYTE oracle: the real extract_page kernel
+        # (title unescape → chrome/script/footer removal → main-content
+        # selection → markdown traversal with the double-emit quirk →
+        # link absolutization) runs over the planted constant-structure
+        # fixture, so the SQL twin replays every output byte as string
+        # concatenation over the raw payload columns — the engine's
+        # core byte contract under the driver hash check, not just the
+        # pytest golden gate.
+        import pandas as pd
+
+        fx = _extract_fixture()
+        ds = sized_read_parquet(f"{fx}/fixture.parquet",
+                                columns=["doc_id", "url", "html"])
+
+        def extract(df: pd.DataFrame) -> pd.DataFrame:
+            from web_scraper_ray.kernel.extract import extract_page
+
+            outs = [extract_page(r.html, r.url)
+                    for r in df.itertuples()]
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "url": [o["url"] for o in outs],
+                "title": [o["title"] for o in outs],
+                "text": [o["text"] for o in outs],
+                "og_description": [o["og_description"] for o in outs],
+                "link": [o["links"][0] if o["links"] else ""
+                         for o in outs],
+                "n_links": pd.Series(
+                    [len(o["links"]) for o in outs], dtype="int64"),
+            })
+
+        return ds.map_batches(extract,
+                              batch_format="pandas").sort("doc_id")
+
     def q_render_md_bytes(sf_dir: str):
         return _q_render_bytes("markdown")
 
@@ -2275,8 +2310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # one hash failure, fixed (bool kept → int64 + canonical sort);
     # (2) the 20 oracled queries never in any round's sample;
     # (3) this round's NEW oracles (the 2-round crawl, the resume
-    # path, the three renderer byte checks); (4) the crawl/extract
-    # spine re-pinned. Previously-green entries follow, then the 11
+    # path, the three renderer byte checks, the extraction-kernel
+    # byte check); (4) the crawl/extract spine re-pinned.
+    # heavy_tokens (PASS r4) slid to position 51 to make room. Previously-green entries follow, then the 11
     # rows-only queries (each pinned by an exhaustive hash-checked
     # twin or the byte-parity pytest gate). Every entry regardless of
     # position is re-verified each session by
@@ -2311,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_md_bytes": q_render_md_bytes,
         "render_xml_bytes": q_render_xml_bytes,
         "render_html_bytes": q_render_html_bytes,
+        "extract_bytes": q_extract_bytes,
         # (4) the crawl/extract spine + touched-this-round entries
         "crawl_round0": q_crawl_round0,
         "crawl_round0_gated": q_crawl_round0_gated,
@@ -2335,8 +2372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epochs_mix": q_epochs_mix,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
-        "heavy_tokens": q_heavy_tokens,
         # ---- end of the 50-entry driver prefix ----
+        "heavy_tokens": q_heavy_tokens,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -2650,6 +2687,64 @@ def _render_fixture() -> str:
     return out
 
 
+def _extract_fixture() -> str:
+    """Fixed-path planted table for the EXTRACTION byte oracle
+    (extract_bytes): 40 pages whose html body is a CONSTANT structure
+    (`<nav>…<main><h2>h</h2><p>p<a href>atext</a></p></main><script>…
+    <footer>…`), so the full extraction kernel's output — title
+    unescaping, chrome/script/footer removal, main-content selection,
+    the markdown traversal's double-emit quirk, link absolutization —
+    is a deterministic string template replayable as SQL concatenation
+    over the RAW payload columns stored alongside the html. Payloads
+    exercise the live escaping rules: quotes, `&`, `<b>`/`<tag>` in
+    text nodes, `&` in attribute values."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def esc_text(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;"))
+
+    def esc_attr(s: str) -> str:
+        return s.replace("&", "&amp;").replace('"', "&quot;")
+
+    out = "/tmp/wsr_extract_fixture"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        ids = list(range(40))
+        title = [f'Extract Doc {i} "T{i}" & <tag>' for i in ids]
+        h = [f'Heading {i} "H{i}" & <b>' for i in ids]
+        p = [f'Paragraph {i} body "P{i}" one & two.' for i in ids]
+        descr = [f'Summary {i} "D{i}" & more' for i in ids]
+        atext = [f"next page {i}" for i in ids]
+        ahref = [f"/next/{i + 1}?x={i}&y=2" for i in ids]
+        url = [f"https://renderhost{i % 5}.example/doc/{i}?a={i}&b=2"
+               for i in ids]
+        html = [
+            f"<html><head><title>{esc_text(title[i])}</title>"
+            f'<meta property="og:description" '
+            f'content="{esc_attr(descr[i])}"></head>'
+            f"<body><nav>chrome nav</nav>"
+            f"<main><h2>{esc_text(h[i])}</h2><p>{esc_text(p[i])}"
+            f'<a href="{esc_attr(ahref[i])}">{esc_text(atext[i])}</a>'
+            f"</p></main><script>var junk=1;</script>"
+            f"<footer>site footer</footer></body></html>"
+            for i in ids
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": url, "html": html,
+            "title": title, "h": h, "p": p, "descr": descr,
+            "atext": atext, "ahref": ahref,
+        })
+        pq.write_table(tbl, os.path.join(out, "fixture.parquet"))
+        open(done, "w").close()
+    return out
+
+
 def _sql_lit(s: str) -> str:
     """DuckDB expression for an arbitrary Python string literal —
     newlines become chr(10) concats, single quotes double."""
@@ -2770,6 +2865,29 @@ def _render_html_sql() -> str:
         "</[document]></body>\n</html>")
     return (f"SELECT doc_id, {body} AS rendered "
             f"FROM read_parquet('{fx}/fixture.parquet') ORDER BY doc_id")
+
+
+def _extract_bytes_sql() -> str:
+    """DuckDB twin of q_extract_bytes — kernel/extract.py extract_page
+    over the planted constant-structure page: title text-node unescape
+    (raw column), text = the markdown traversal's template for
+    `<main><h2>h</h2><p>p<a>atext</a></p></main>` (`## h`, then the
+    handled-elements-do-not-skip-children double-emit: h and the
+    merged p+atext as raw text, then p's own emission, the markdown
+    link, and atext's raw emission), og_description from the attribute
+    (raw column), link = base-host-absolutized href."""
+    fx = _extract_fixture()
+    text = _sql_concat(
+        "\n## ", ("h",), "\n\n", ("h",), "\n", ("p",), ("atext",),
+        "\n\n", ("p",), "\n[", ("atext",), "](", ("ahref",), ")\n",
+        ("atext",))
+    link = ("'https://renderhost' || (doc_id % 5) || '.example' "
+            "|| ahref")
+    return (
+        f"SELECT doc_id, url, title, {text} AS text, "
+        f"descr AS og_description, {link} AS link, "
+        f"1::BIGINT AS n_links "
+        f"FROM read_parquet('{fx}/fixture.parquet') ORDER BY doc_id")
 
 
 def _canonical_urls_sql() -> str:
@@ -5235,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         "render_md_bytes": _render_md_sql(),
         "render_xml_bytes": _render_xml_sql(),
         "render_html_bytes": _render_html_sql(),
+        "extract_bytes": _extract_bytes_sql(),
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "dup_cluster_hist": """
             WITH planted AS (
