@@ -451,6 +451,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_source_stats(sf_dir: str):
         return rel.source_stats(sf_dir)
 
+    def q_top_docs_per_source(sf_dir: str):
+        # grouped top-k at the scale shape: per-batch partial top-k
+        # prunes each batch to <=k rows per group BEFORE the shuffle
+        # (only candidates cross the wire), coarse-bucket groupby
+        # finishes each group exactly (ops/relational.py:grouped_topk)
+        ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source", "n_chars"])
+        return rel.grouped_topk(ds, "source", "n_chars", k=3,
+                                tie_col="doc_id")
+
     def q_exact_dedup(sf_dir: str):
         import ray.data
         from web_scraper_ray.ops.dedup import exact_dedup
@@ -2348,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_xml_bytes": q_render_xml_bytes,
         "render_html_bytes": q_render_html_bytes,
         "extract_bytes": q_extract_bytes,
+        "top_docs_per_source": q_top_docs_per_source,
         # (4) the crawl/extract spine + touched-this-round entries
         "crawl_round0": q_crawl_round0,
         "crawl_round0_gated": q_crawl_round0_gated,
@@ -2371,8 +2382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "epochs_mix": q_epochs_mix,
         "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
         # ---- end of the 50-entry driver prefix ----
+        "semdedup": q_semdedup,
         "heavy_tokens": q_heavy_tokens,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "langid": q_langid,
@@ -4380,6 +4391,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
                    CAST(MAX(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY source
+        """,
+        "top_docs_per_source": """
+            SELECT source, n_chars, doc_id, rk FROM (
+                SELECT source, n_chars, doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+                FROM documents) t
+            WHERE rk <= 3
         """,
         "exact_dedup": """
             SELECT doc_id, source, n_chars

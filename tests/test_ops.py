@@ -1937,3 +1937,27 @@ def test_segment_revenue_regimes_agree(sf_dir, ray_session):
     b = (segment_revenue(sf_dir, broadcast_limit=0).to_pandas()
          .sort_values("c_mktsegment").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_grouped_topk_planted(ray_session):
+    """Ties resolved by tie_col asc; rk is 1-based within group; the
+    result is block-layout-independent (partial top-k per batch prunes
+    but never drops a global candidate)."""
+    import ray.data
+
+    from web_scraper_ray.ops.relational import grouped_topk
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(10):
+            # two score ties at the top of every group
+            rows.append({"grp": g, "score": 100 if i < 2 else 100 - i,
+                         "id": i})
+    expect = {("a", 0, 1), ("a", 1, 2), ("a", 2, 3),
+              ("b", 0, 1), ("b", 1, 2), ("b", 2, 3)}
+    for blocks in (1, 7):
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        got = grouped_topk(ds, "grp", "score", k=3,
+                           tie_col="id").to_pandas()
+        assert {(r.grp, r.id, r.rk)
+                for r in got.itertuples()} == expect, blocks

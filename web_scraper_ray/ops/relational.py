@@ -71,6 +71,49 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k rows PER GROUP by ``order_col`` desc (ties broken by
+    ``tie_col`` asc), with a rank column ``rk`` (1-based). The scale
+    shape: a per-batch PARTIAL top-k per group prunes each batch to at
+    most k rows per group BEFORE the shuffle — only candidate rows
+    cross the wire, never the corpus — then a coarse-bucket groupby
+    (``hash(group) % n_buckets``, the corpus-cardinality-groupby rule)
+    finishes each group exactly. Deterministic at any parallelism:
+    the final in-group sort is total (order desc, tie asc)."""
+    import pandas as pd
+
+    cols = [group_col, order_col, tie_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].sort_values(
+            [order_col, tie_col], ascending=[False, True],
+            kind="mergesort")
+        out = df.groupby(group_col, sort=False).head(k).copy()
+        from ..vhash import hash64_str
+
+        out["__bkt"] = hash64_str(out[group_col]) % n_buckets
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_col, order_col, tie_col],
+            ascending=[True, False, True], kind="mergesort")
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["rk"] = g.groupby(group_col, sort=False).cumcount() + 1
+        return g[cols + ["rk"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__bkt")
+            .map_groups(finish, batch_format="pandas"))
+
+
 @ray.remote(num_cpus=0)
 def _dim_lookup_task(*tables):
     """Fold (int key, value) dimension blocks into custkey-sorted numpy
