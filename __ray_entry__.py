@@ -1737,6 +1737,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = load_crawl_order(ckpt)
         return df[["round", "url", "host", "vt", "priority"]]
 
+    def q_crawl_max_pages(sf_dir: str):
+        # the max_pages budget path under the driver hash check: the
+        # engine truncates round 0 to K=9 of 23 admitted via the
+        # DISTRIBUTED sort(ORDER_KEYS).limit(K) (crawl/frontier.py
+        # budget branch) and stops — the oracle replays round 0 in SQL
+        # and applies the same total-order cut (vt, priority, url;
+        # pvt/pli are constant in round 0)
+        import shutil
+
+        from web_scraper_ray.crawl import CrawlConfig, run_crawl
+        from web_scraper_ray.crawl.frontier import load_crawl_order
+
+        corpus = _round0_corpus()
+        ckpt = "/tmp/wsr_max_pages_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_crawl(
+            f"{corpus}/pages",
+            f"{corpus}/seeds.parquet",
+            ckpt,
+            robots_path=f"{corpus}/robots.parquet",
+            config=CrawlConfig(max_depth=2, seen_shards=2, max_pages=9),
+        )
+        df = load_crawl_order(ckpt)
+        return df[["round", "url", "host", "vt", "priority"]]
+
     def q_crawl_order2(sf_dir: str):
         # a FULL 2-round crawl under the driver's hash check
         # (round-4 verdict #4): round 1's admitted set + virtual times
@@ -2354,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (3) new round-5 oracles
         "crawl_order2": q_crawl_order2,
         "crawl_resume": q_crawl_resume,
+        "crawl_max_pages": q_crawl_max_pages,
         "render_md_bytes": q_render_md_bytes,
         "render_xml_bytes": q_render_xml_bytes,
         "render_html_bytes": q_render_html_bytes,
@@ -2381,8 +2407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pack_sequences": q_pack_sequences,
         "epochs_mix": q_epochs_mix,
-        "kmeans_clusters": q_kmeans_clusters,
         # ---- end of the 50-entry driver prefix ----
+        "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "heavy_tokens": q_heavy_tokens,
         "embedding_sim_pairs": q_embedding_sim_pairs,
@@ -5390,6 +5416,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "strip_boilerplate": _strip_boilerplate_sql(),
         "crawl_round0": _crawl_round0_sql(),
+        "crawl_max_pages": (
+            # the engine truncates on the FULL crawl-order key
+            # (vt, priority, pvt, pli, url); pvt is constant in round 0
+            # but pli (the seed index) breaks vt ties before url
+            f"SELECT round, url, host, vt, priority "
+            f"FROM ({_crawl_round0_sql(emit_pli=True)}) "
+            f"ORDER BY vt, priority, pli, url LIMIT 9"),
         "crawl_round0_gated": _crawl_round0_sql(gate_pred="""
               AND c.host <> 'host0000.example'
               AND NOT (100 * len(regexp_extract_all(
