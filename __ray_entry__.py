@@ -2345,9 +2345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # one hash failure, fixed (bool kept → int64 + canonical sort);
     # (2) the 20 oracled queries never in any round's sample;
     # (3) this round's NEW oracles (the 2-round crawl, the resume
-    # path, the three renderer byte checks, the extraction-kernel
-    # byte check); (4) the crawl/extract spine re-pinned.
-    # heavy_tokens (PASS r4) slid to position 51 to make room. Previously-green entries follow, then the 11
+    # path, the max_pages truncation, the three renderer byte checks,
+    # the extraction-kernel byte check, grouped top-k); (4) the
+    # crawl/extract spine re-pinned. kmeans_clusters / semdedup /
+    # heavy_tokens (all PASS r4) slid past position 50 to make room. Previously-green entries follow, then the 11
     # rows-only queries (each pinned by an exhaustive hash-checked
     # twin or the byte-parity pytest gate). Every entry regardless of
     # position is re-verified each session by

@@ -88,3 +88,25 @@ def test_entry_runs(entry_module):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert "text" in df.columns and "url" in df.columns
+
+
+def test_no_duplicate_contract_keys():
+    """A duplicate key in the queries()/oracle_sql() dict literals is a
+    silent bug (later entry wins, the earlier one is unreachable — the
+    crawl_budget/crawl_max_pages collision in round 5 shipped shadowed
+    until the emulator's row count looked wrong). Scan the AST."""
+    import ast
+    import collections
+
+    src = open("__ray_entry__.py").read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+                "queries", "oracle_sql"):
+            rets = [n for n in ast.walk(node)
+                    if isinstance(n, ast.Return)
+                    and isinstance(n.value, ast.Dict)]
+            names = [k.value for k in rets[-1].value.keys]
+            dupes = [n for n, c in collections.Counter(names).items()
+                     if c > 1]
+            assert not dupes, f"{node.name}: duplicate keys {dupes}"
