@@ -1,5 +1,5 @@
 """Host-level boilerplate removal (ops/boilerplate.py): hand-built
-semantics + broadcast/bucketed regime parity. The DuckDB value parity
+semantics + broadcast/bucketed/sharded regime parity. The DuckDB value parity
 at sf-scale is pinned by test_queries_oracle.py (host_boilerplate /
 strip_boilerplate entries)."""
 
@@ -68,7 +68,9 @@ def test_strip_boilerplate_regime_parity(ray_session):
         return (strip_boilerplate(ds, min_pages=3, mode=mode)
                 .to_pandas().sort_values("url").reset_index(drop=True))
 
-    pd.testing.assert_frame_equal(run("broadcast"), run("bucketed"))
+    base = run("broadcast")
+    pd.testing.assert_frame_equal(base, run("bucketed"))
+    pd.testing.assert_frame_equal(base, run("sharded"))
 
 
 def _model_strip(rows, min_pages):
@@ -117,7 +119,7 @@ def test_strip_boilerplate_fuzz_model_parity(ray_session):
                              for _ in range(rng.randrange(0, 7)))
             rows.append({"url": f"https://{host}/p{i}", "text": text})
         want = _model_strip(rows, min_pages=2)
-        for mode in ("broadcast", "bucketed"):
+        for mode in ("broadcast", "bucketed", "sharded"):
             got = (strip_boilerplate(ray.data.from_items(rows),
                                      min_pages=2, mode=mode, n_buckets=4)
                    .to_pandas())
