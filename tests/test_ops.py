@@ -777,7 +777,7 @@ def test_paragraph_dedup_planted(ray_session):
             {"doc_id": 4, "text": ""},   # ...this one loses it
         ]
     )
-    for mode in ("broadcast", "bucketed"):
+    for mode in ("broadcast", "bucketed", "sharded"):
         out = (
             paragraph_dedup(ds, mode=mode, n_buckets=4)
             .to_pandas()
@@ -807,9 +807,12 @@ def test_paragraph_dedup_modes_agree(ray_session):
     ds = ray.data.from_items(rows).repartition(8)
     a = paragraph_dedup(ds, mode="broadcast").to_pandas()
     b = paragraph_dedup(ds, mode="bucketed", n_buckets=8).to_pandas()
+    c = paragraph_dedup(ds, mode="sharded", n_buckets=8).to_pandas()
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
+    c = c.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+    assert a.equals(c)
     # first-wins: doc 0 keeps its shared paragraphs, later docs lose them
     assert "shared paragraph" in a.loc[1, "text"]
     later = a.loc[a["doc_id"] >= 7, "text"].str.contains("shared paragraph")

@@ -396,8 +396,13 @@ def paragraph_dedup(
        and losers by ``id % n_buckets`` so no process ever holds the
        full loser set — at web-scale repetition rates the loser table
        is O(total paragraphs), i.e. corpus-shaped. The bucketed
-       rebuild is the one pass where text rides a shuffle (it must
-       meet its losers somewhere); the decision pass never ships it.
+       rebuild is the one pass where text rides a shuffle; the
+       decision pass never ships it. ``sharded`` (what ``auto`` picks
+       above ``broadcast_limit``) removes that last text all-to-all:
+       the loser table is partitioned into actors by doc id and the
+       corpus streams in place, each rebuild batch fetching only its
+       own docs' loser positions (mirror of the boilerplate sharded
+       regime). All three rebuilds are bit-identical (test_ops).
 
     ``ds`` is consumed twice (hash pass + rebuild pass) — pass a
     re-readable source. Oracle twin: ``para_dedup`` in
@@ -427,7 +432,7 @@ def paragraph_dedup(
         .materialize()
     )
     if mode == "auto":
-        mode = "broadcast" if losers.count() <= broadcast_limit else "bucketed"
+        mode = "broadcast" if losers.count() <= broadcast_limit else "sharded"
 
     def rebuild(df: pd.DataFrame, loser_df: pd.DataFrame) -> pd.DataFrame:
         paras = _paragraph_table(df, text_col, id_col, sep, with_text=True)
@@ -455,6 +460,10 @@ def paragraph_dedup(
         return ds.select_columns([id_col, text_col]).map_batches(
             rb, batch_format="pandas"
         )
+
+    if mode == "sharded":
+        return _sharded_para_rebuild(ds, losers, rebuild, id_col,
+                                     text_col, n_shards=max(4, n_buckets // 4))
 
     if mode != "bucketed":
         raise ValueError(f"unknown paragraph_dedup mode: {mode}")
@@ -486,6 +495,88 @@ def paragraph_dedup(
     return both.groupby("__bkt").map_groups(
         rebuild_group, batch_format="pandas"
     )
+
+
+@ray.remote(num_cpus=0)
+class _LoserShard:
+    """One partition of the paragraph-loser table, hashed by doc id —
+    the sharded rebuild regime's state: no process holds the full loser
+    set (corpus-shaped at web-scale repetition rates) and the CORPUS
+    TEXT never moves. Duplicate adds (feed retries, ids spanning feed
+    batches) are harmless: a loser row matched twice still just drops
+    the same paragraph."""
+
+    def __init__(self):
+        self._by_id: dict[int, list] = {}
+
+    def add(self, ids: list, p_arrays: list) -> int:
+        for i, ps in zip(ids, p_arrays):
+            self._by_id.setdefault(i, []).append(ps)
+        return len(ids)
+
+    def get(self, ids: list):
+        out_i, out_p = [], []
+        for i in ids:
+            for ps in self._by_id.get(i, ()):
+                out_i.append(np.full(len(ps), i, dtype=np.int64))
+                out_p.append(ps)
+        if not out_i:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_i), np.concatenate(out_p)
+
+
+def _sharded_para_rebuild(ds, losers, rebuild, id_col: str,
+                          text_col: str, n_shards: int):
+    """The sharded paragraph rebuild (mirror of the boilerplate
+    ``mode="sharded"``): partition the slim (id, p) loser table into
+    actors by ``id % n_shards``, stream the corpus in place, and have
+    each rebuild batch fetch only its own docs' loser positions — the
+    one text all-to-all of the bucketed regime disappears.
+    Byte-identical to broadcast/bucketed (test_ops regime parity)."""
+    shards = [_LoserShard.remote() for _ in range(n_shards)]
+
+    def feed(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n:
+            ids = df[id_col].to_numpy(dtype=np.int64)
+            ps = df["p"].to_numpy(dtype=np.int64)
+            o = np.argsort(ids, kind="stable")
+            ids, ps = ids[o], ps[o]
+            cut = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1])))
+            uids = ids[cut]
+            groups = np.split(ps, cut[1:])
+            sid = uids % n_shards
+            futs = []
+            for s in np.unique(sid):
+                m = sid == s
+                futs.append(shards[int(s)].add.remote(
+                    [int(i) for i in uids[m]],
+                    [g for g, keep in zip(groups, m) if keep]))
+            ray.get(futs)
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    # barrier: every loser registered before any rebuild batch reads
+    losers.map_batches(feed, batch_format="pandas").count()
+
+    def rb(df: pd.DataFrame) -> pd.DataFrame:
+        uids = np.unique(df[id_col].to_numpy(dtype=np.int64))
+        li = np.empty(0, np.int64)
+        lp = np.empty(0, np.int64)
+        if len(uids):
+            sid = uids % n_shards
+            futs = [shards[int(s)].get.remote(
+                        [int(i) for i in uids[sid == s]])
+                    for s in np.unique(sid)]
+            got = ray.get(futs)
+            if got:
+                li = np.concatenate([g[0] for g in got])
+                lp = np.concatenate([g[1] for g in got])
+        loser_df = pd.DataFrame({"_id": li, "p": lp})
+        return rebuild(df, loser_df)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rb, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
