@@ -500,19 +500,20 @@ def test_subtract_ids_modes_agree(ray_session):
     want_ids = sorted(i for i in range(200) if i % 3 != 0)
 
     outs = {}
-    for mode in ("broadcast", "bucketed"):
+    for mode in ("broadcast", "bucketed", "sharded"):
         drop = ray.data.from_items(drop_rows)
         out = subtract_ids(ds, drop, id_col="doc_id", drop_col="node",
                            mode=mode, n_buckets=8).to_pandas()
         assert sorted(out.columns) == ["doc_id", "n_chars", "source"]
         outs[mode] = out.sort_values("doc_id").reset_index(drop=True)
         assert list(outs[mode]["doc_id"]) == want_ids
-    pd.testing.assert_frame_equal(
-        outs["broadcast"][sorted(outs["broadcast"].columns)],
-        outs["bucketed"][sorted(outs["bucketed"].columns)],
-    )
-    # empty drop set: everything survives in both modes
-    for mode in ("broadcast", "bucketed"):
+    for other in ("bucketed", "sharded"):
+        pd.testing.assert_frame_equal(
+            outs["broadcast"][sorted(outs["broadcast"].columns)],
+            outs[other][sorted(outs[other].columns)],
+        )
+    # empty drop set: everything survives in every mode
+    for mode in ("broadcast", "bucketed", "sharded"):
         empty = ray.data.from_items([{"node": 10_000}]).filter(
             lambda r: False
         )

@@ -42,6 +42,35 @@ def _ids_array_task(*tables) -> np.ndarray:
     return np.unique(np.concatenate(parts).astype(np.int64))
 
 
+@ray.remote(num_cpus=0)
+class _IdShard:
+    """One partition of a drop-id set, hashed by ``id % n_shards`` —
+    the sharded anti-join regime's state: no process holds the full
+    set, and membership queries move slim int64s only. Adds complete
+    behind a barrier before the first ``contains``; the sorted array
+    is built lazily and rebuilt if a retried add lands late."""
+
+    def __init__(self):
+        self._chunks: list = []
+        self._sorted = None
+
+    def add(self, ids) -> int:
+        self._chunks.append(np.asarray(ids, dtype=np.int64))
+        self._sorted = None
+        return len(ids)
+
+    def contains(self, ids) -> np.ndarray:
+        if self._sorted is None:
+            self._sorted = (np.unique(np.concatenate(self._chunks))
+                            if self._chunks else np.empty(0, np.int64))
+        arr = self._sorted
+        ids = np.asarray(ids, dtype=np.int64)
+        if not len(arr):
+            return np.zeros(len(ids), dtype=bool)
+        pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+        return arr[pos] == ids
+
+
 def subtract_ids(
     ds: ray.data.Dataset,
     drop: ray.data.Dataset,
@@ -60,10 +89,15 @@ def subtract_ids(
       the drop blocks into one sorted int64 array in the OBJECT STORE;
       each filter task reads it zero-copy and drops matches with a
       vectorized ``searchsorted`` — ``ds`` itself never shuffles.
-    * ``bucketed`` (web-scale drop sets, O(corpus) ids — 30-50%
-      near-dup rates): no single process ever holds the set. Corpus
-      rows and drop ids co-locate by ``id % n_buckets``; each group
-      filters its own slice. Costs one all-to-all pass over ``ds``.
+    * ``sharded`` (web-scale drop sets, O(corpus) ids — 30-50%
+      near-dup rates; what ``auto`` picks above ``broadcast_limit``):
+      no single process ever holds the set AND the corpus never
+      shuffles — the drop ids partition into membership actors by
+      ``id % n_shards`` and each filter batch asks the shards which of
+      its own ids are dropped (slim int64s both ways).
+    * ``bucketed``: the prior all-to-all form (corpus rows and drop
+      ids co-locate by ``id % n_buckets``) — kept for parity testing;
+      it ships every corpus column through the shuffle.
 
     ``mode='auto'`` picks by the drop set's row count (parquet/block
     metadata — the drop Dataset is materialized either way, since both
@@ -71,7 +105,38 @@ def subtract_ids(
 
     drop = drop.select_columns([drop_col]).materialize()
     if mode == "auto":
-        mode = "broadcast" if drop.count() <= broadcast_limit else "bucketed"
+        mode = "broadcast" if drop.count() <= broadcast_limit else "sharded"
+
+    if mode == "sharded":
+        n_shards = max(4, n_buckets // 4)
+        shards = [_IdShard.remote() for _ in range(n_shards)]
+
+        def feed(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            if n:
+                ids = df[drop_col].to_numpy(dtype=np.int64)
+                sid = ids % n_shards
+                ray.get([shards[int(s)].add.remote(ids[sid == s])
+                         for s in np.unique(sid)])
+            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+        # barrier: every drop id registered before any filter reads
+        drop.map_batches(feed, batch_format="pandas").count()
+
+        def keep_sharded(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            ids = df[id_col].to_numpy(dtype=np.int64)
+            sid = ids % n_shards
+            hit = np.zeros(len(ids), dtype=bool)
+            present = np.unique(sid)
+            futs = [shards[int(s)].contains.remote(ids[sid == s])
+                    for s in present]
+            for s, m in zip(present, ray.get(futs)):
+                hit[sid == s] = m
+            return df.loc[~hit]
+
+        return ds.map_batches(keep_sharded, batch_format="pandas")
 
     if mode == "broadcast":
         ref = _ids_array_task.remote(*drop.to_arrow_refs())
